@@ -1,0 +1,89 @@
+"""Flagship benchmark: IMHK sampling throughput on an n=512 NTRU lattice
+(dimension 1024) — the BASELINE.json headline metric.
+
+Reference baseline: 1.0 ms/IMHK-sample at NTRU-512 (dim 1024) on one CPU core
+(paper/tables/example_table_1_cryptographic_benchmarks.tex) => 1000 samples/s.
+vs_baseline = our samples/s / 1000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lattice_gaussian_mcmc_tpu.lattices import ntru_lattice
+    from lattice_gaussian_mcmc_tpu.lattices.qary import falcon_parameters
+    from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+    from lattice_gaussian_mcmc_tpu.samplers.imhk import imhk_init, imhk_step
+    from lattice_gaussian_mcmc_tpu.utils.prng import chain_keys
+
+    n_ring = int(os.environ.get("BENCH_N", "512"))
+    n_chains = int(os.environ.get("BENCH_CHAINS", "4096"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "64"))
+
+    lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
+                       dtype=jnp.float32)
+    sigma = falcon_parameters(512)["sigma"] if n_ring >= 256 else \
+        1.3 * float(jnp.max(lat.gs_norms))
+    pre = klein_precompute(lat, sigma)
+
+    key = jax.random.key(0)
+    keys = chain_keys(key, n_chains)
+    states = jax.vmap(lambda k: imhk_init(k, pre))(keys)
+
+    @jax.jit
+    def run_steps(states, step_key):
+        def body(states, i):
+            step_base = jax.random.fold_in(step_key, i)
+            ks = jax.vmap(lambda c: jax.random.fold_in(step_base, c))(
+                jnp.arange(n_chains))
+            states = jax.vmap(lambda k, s: imhk_step(k, s, pre))(ks, states)
+            return states, None
+        states, _ = jax.lax.scan(body, states, jnp.arange(n_steps))
+        return states
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    states = run_steps(states, jax.random.fold_in(key, 1))
+    jax.block_until_ready(states)
+    compile_s = time.perf_counter() - t0
+
+    # timed runs
+    t0 = time.perf_counter()
+    n_rep = 3
+    for r in range(n_rep):
+        states = run_steps(states, jax.random.fold_in(key, 2 + r))
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+
+    total_samples = n_chains * n_steps * n_rep
+    sps = total_samples / dt
+    acc = float(jnp.sum(states.accepted)) / max(float(jnp.sum(states.steps)), 1)
+
+    result = {
+        "metric": "imhk_samples_per_sec_ntru512",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / 1000.0, 2),
+        "acceptance_rate": round(acc, 4),
+        "n_chains": n_chains,
+        "dim": 2 * n_ring,
+        "sigma": sigma,
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]).replace(" ", "_"),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,284 @@
+"""Independent Metropolis-Hastings-Klein (IMHK) and symmetric
+Metropolis-Klein MCMC — fused TPU step.
+
+Parity: reference `src/samplers/imhk.py` (IMHKSampler): theoretical burn-in
+t_mix < -ln(eps)/delta (:68-91), importance weight in log space (:102-124),
+MH step (:141-177), `sample(n, thin)` (:196-229), `run_chain` (:231-250),
+MC spectral-gap estimate (:252-284), `diagnose_convergence` (:286-313).
+The symmetric Metropolis-Klein chain is the Wang-Ling variant the BASELINE
+north star names (Klein proposal centered at the current state).
+
+TPU-native design (SURVEY.md section 3.2 "TPU mapping"): one fused step =
+Klein-propose + weight + MH accept under `lax.scan` over time, `vmap` over
+chains. The importance weight log w(y) = sum_i log Z_i falls out of the Klein
+scan (see samplers/klein.py), so an IMHK step costs exactly one Klein draw
+plus O(1) — versus the reference's propose + full density re-evaluation
+(~2x Klein per step, SURVEY section 3.2).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from lattice_gaussian_mcmc_tpu.lattices.base import Lattice
+from lattice_gaussian_mcmc_tpu.samplers.klein import (
+    KleinPrecomp,
+    klein_precompute,
+    klein_sample,
+    klein_log_weight,
+    klein_points,
+)
+from lattice_gaussian_mcmc_tpu.utils.prng import chain_keys
+from lattice_gaussian_mcmc_tpu.utils.stats import logmeanexp
+
+
+@flax.struct.dataclass
+class ChainState:
+    """Per-chain MCMC state: a tiny pytree (SURVEY section 5 checkpoint/resume:
+    (coeffs, log_w, counters) is all that needs to persist)."""
+
+    coeffs: jnp.ndarray      # (n,) integer-valued float coefficients
+    log_w: jnp.ndarray       # scalar: log importance weight of current state
+    accepted: jnp.ndarray    # scalar int32: accepted proposals
+    steps: jnp.ndarray       # scalar int32: total proposals
+
+
+def imhk_init(key: jax.Array, pre: KleinPrecomp) -> ChainState:
+    """Initialize a chain from one Klein draw (reference imhk.py:126-139)."""
+    coeffs, log_w = klein_sample(key, pre)
+    return ChainState(coeffs=coeffs, log_w=log_w,
+                      accepted=jnp.int32(0), steps=jnp.int32(0))
+
+
+def imhk_step(key: jax.Array, state: ChainState, pre: KleinPrecomp) -> ChainState:
+    """One IMHK step: propose y ~ Klein, accept with min(1, w(y)/w(x))."""
+    k_prop, k_acc = jax.random.split(key)
+    y, log_w_y = klein_sample(k_prop, pre)
+    log_ratio = log_w_y - state.log_w
+    u = jax.random.uniform(k_acc, dtype=log_ratio.dtype,
+                           minval=jnp.finfo(log_ratio.dtype).tiny)
+    accept = jnp.log(u) < log_ratio  # min(0, .) implicit: log u < 0 always
+    coeffs = jnp.where(accept, y, state.coeffs)
+    log_w = jnp.where(accept, log_w_y, state.log_w)
+    return ChainState(coeffs=coeffs, log_w=log_w,
+                      accepted=state.accepted + accept.astype(jnp.int32),
+                      steps=state.steps + 1)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "thin", "burn_in"))
+def imhk_chain(key: jax.Array, pre: KleinPrecomp, n_samples: int,
+               thin: int = 1, burn_in: int = 0):
+    """Run one IMHK chain: returns (coeffs (T, n), log_ws (T,), final_state).
+
+    Structure: burn-in fori_loop (nothing recorded), then scan of n_samples
+    outer steps each doing `thin` inner steps (reference sample(N, thin),
+    imhk.py:196-229).
+    """
+    k_init, k_run = jax.random.split(key)
+    state = imhk_init(k_init, pre)
+
+    def one_step(state, k):
+        return imhk_step(k, state, pre)
+
+    def burn_body(i, st):
+        return one_step(st, jax.random.fold_in(k_run, i))
+
+    state = jax.lax.fori_loop(0, burn_in, burn_body, state)
+
+    def outer(state, t):
+        def inner(j, st):
+            return one_step(st, jax.random.fold_in(k_run, burn_in + t * thin + j))
+        state = jax.lax.fori_loop(0, thin, inner, state)
+        return state, (state.coeffs, state.log_w)
+
+    state, (coeffs, log_ws) = jax.lax.scan(outer, state, jnp.arange(n_samples))
+    return coeffs, log_ws, state
+
+
+@partial(jax.jit, static_argnames=("n_chains", "n_samples", "thin", "burn_in"))
+def imhk_chains(key: jax.Array, pre: KleinPrecomp, n_chains: int,
+                n_samples: int, thin: int = 1, burn_in: int = 0):
+    """vmap over chains: coeffs (C, T, n), log_ws (C, T), states (C,)."""
+    keys = chain_keys(key, n_chains)
+    return jax.vmap(lambda k: imhk_chain(k, pre, n_samples, thin, burn_in))(keys)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric Metropolis-Klein: Klein proposal centered at the current point.
+# ---------------------------------------------------------------------------
+
+
+def smk_step(key: jax.Array, state: ChainState, pre: KleinPrecomp,
+             lattice_Q, lattice_R) -> ChainState:
+    """One symmetric Metropolis-Klein step.
+
+    Proposal: y ~ Klein(center = B x) with width pre.sigma. Acceptance uses
+    the full MH ratio  pi(y) q(x|y) / (pi(x) q(y|x)); both cross densities
+    are parallel evaluations (klein_log_weight with a recentered precomp).
+    In log-weight form: alpha = min(1, exp(lw_c(y at x) ... )) — we compute
+    directly:  log pi~(z) = -||B z - c||^2 / (2 sigma^2)  plus
+    log q(z | center m) from the recentered Klein density.
+    """
+    n = pre.n
+    r_diag = jnp.diagonal(lattice_R)
+    k_prop, k_acc = jax.random.split(key)
+
+    x = state.coeffs
+    # recenter the Klein proposal at the current lattice point
+    point_x = pre.basis @ x
+    cs_x = (lattice_Q.T @ point_x) / r_diag
+    pre_x = pre.replace(cs=cs_x)
+    y, _ = klein_sample(k_prop, pre_x)
+
+    point_y = pre.basis @ y
+    cs_y = (lattice_Q.T @ point_y) / r_diag
+    pre_y = pre.replace(cs=cs_y)
+
+    from lattice_gaussian_mcmc_tpu.samplers.klein import klein_log_density
+    log_q_y_given_x = klein_log_density(y, pre_x)
+    log_q_x_given_y = klein_log_density(x, pre_y)
+
+    # target pi ~ exp(-||B z - c||^2 / (2 sigma^2)); pre.cs holds the target
+    # center in scaled-QR coordinates: ||B z - c||^2 = sum (r_i (z - c))^2
+    def log_pi(z, cs_target):
+        resid = (pre.U @ z - cs_target) * r_diag
+        return -0.5 * jnp.sum(resid * resid) / (pre.sigma ** 2)
+
+    log_ratio = (log_pi(y, pre.cs) + log_q_x_given_y
+                 - log_pi(x, pre.cs) - log_q_y_given_x)
+    u = jax.random.uniform(k_acc, dtype=log_ratio.dtype,
+                           minval=jnp.finfo(log_ratio.dtype).tiny)
+    accept = jnp.log(u) < log_ratio
+    coeffs = jnp.where(accept, y, x)
+    return ChainState(coeffs=coeffs, log_w=state.log_w,
+                      accepted=state.accepted + accept.astype(jnp.int32),
+                      steps=state.steps + 1)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "thin", "burn_in"))
+def smk_chain(key: jax.Array, pre: KleinPrecomp, lattice_Q, lattice_R,
+              n_samples: int, thin: int = 1, burn_in: int = 0):
+    """Symmetric Metropolis-Klein chain (same harness as imhk_chain)."""
+    k_init, k_run = jax.random.split(key)
+    state = imhk_init(k_init, pre)
+
+    def one_step(st, k):
+        return smk_step(k, st, pre, lattice_Q, lattice_R)
+
+    state = jax.lax.fori_loop(
+        0, burn_in, lambda i, st: one_step(st, jax.random.fold_in(k_run, i)),
+        state)
+
+    def outer(st, t):
+        def inner(j, s):
+            return one_step(s, jax.random.fold_in(k_run, burn_in + t * thin + j))
+        st = jax.lax.fori_loop(0, thin, inner, st)
+        return st, st.coeffs
+
+    state, coeffs = jax.lax.scan(outer, state, jnp.arange(n_samples))
+    return coeffs, state
+
+
+# ---------------------------------------------------------------------------
+# Theory helpers (reference imhk.py:68-91, :252-284).
+# ---------------------------------------------------------------------------
+
+
+def estimate_burn_in(delta, eps: float = 0.01, cap: int = 10_000) -> int:
+    """t_mix(eps) < -ln(eps) / delta (exponential uniform ergodicity)."""
+    d = max(float(delta), 1e-12)
+    return int(min(math.ceil(-math.log(eps) / d), cap))
+
+
+def spectral_gap_mc(log_ws) -> jax.Array:
+    """Monte-Carlo spectral-gap estimate from Klein-proposal log weights:
+    delta >= 1/max w with w normalized; self-normalizing form
+    delta_hat = mean(w~) / max(w~) = exp(logmeanexp - max)."""
+    lw = jnp.ravel(log_ws)
+    return jnp.exp(logmeanexp(lw) - jnp.max(lw))
+
+
+class IMHKSampler:
+    """OO wrapper mirroring the reference IMHKSampler surface."""
+
+    def __init__(self, lattice: Lattice, sigma: float, center=None,
+                 window: Optional[int] = None, burn_in: Optional[int] = None):
+        self.lattice = lattice
+        self.sigma = float(sigma)
+        self.pre = klein_precompute(lattice, sigma, center, window)
+        self.burn_in = burn_in if burn_in is not None else self._auto_burn_in()
+
+    def _auto_burn_in(self) -> int:
+        # quick MC gap estimate with a small Klein batch (host decision)
+        from lattice_gaussian_mcmc_tpu.samplers.klein import klein_sample_batch
+        _, lw = klein_sample_batch(jax.random.key(0), self.pre, 256)
+        delta = float(spectral_gap_mc(lw))
+        return estimate_burn_in(delta)
+
+    def sample(self, key, num_samples: int, thin: int = 1, n_chains: int = 1,
+               return_coeffs: bool = False):
+        """Returns (num_samples*n_chains, n) lattice points (or coeffs)."""
+        if n_chains == 1:
+            coeffs, log_ws, state = imhk_chain(key, self.pre, num_samples,
+                                               thin, self.burn_in)
+            coeffs = coeffs.reshape(-1, self.lattice.n)
+            self._last_state = state
+        else:
+            coeffs, log_ws, state = imhk_chains(key, self.pre, n_chains,
+                                                num_samples, thin, self.burn_in)
+            coeffs = coeffs.reshape(-1, self.lattice.n)
+            self._last_state = state
+        self.acceptance_rate = float(jnp.sum(state.accepted) /
+                                     jnp.maximum(jnp.sum(state.steps), 1))
+        if return_coeffs:
+            return coeffs
+        return klein_points(self.pre.basis, coeffs)
+
+    def estimate_spectral_gap(self, key, num_samples: int = 1000) -> float:
+        from lattice_gaussian_mcmc_tpu.samplers.klein import klein_sample_batch
+        _, lw = klein_sample_batch(key, self.pre, num_samples)
+        return float(spectral_gap_mc(lw))
+
+    def diagnose_convergence(self, key, num_samples: int = 1000) -> dict:
+        import time
+        t0 = time.perf_counter()
+        pts = self.sample(key, num_samples)
+        pts.block_until_ready()
+        dt = time.perf_counter() - t0
+        return {
+            "acceptance_rate": self.acceptance_rate,
+            "spectral_gap_estimate": self.estimate_spectral_gap(
+                jax.random.fold_in(key, 1), min(num_samples, 1000)),
+            "empirical_mean": jnp.mean(pts, axis=0),
+            "empirical_std": jnp.std(pts, axis=0),
+            "theoretical_std": self.sigma * jnp.ones(self.lattice.n),
+            "samples_per_second": num_samples / dt,
+        }
+
+
+class MetropolisKleinSampler:
+    """Symmetric Metropolis-Klein wrapper (local Klein proposal)."""
+
+    def __init__(self, lattice: Lattice, sigma: float, proposal_sigma=None,
+                 center=None, window: Optional[int] = None):
+        self.lattice = lattice
+        self.sigma = float(sigma)
+        psigma = proposal_sigma if proposal_sigma is not None else sigma
+        self.pre = klein_precompute(lattice, sigma, center, window).replace(
+            sigmas=jnp.asarray(psigma) / jnp.diagonal(lattice.R))
+        self._Q, self._R = lattice.Q, lattice.R
+
+    def sample(self, key, num_samples: int, thin: int = 1,
+               burn_in: int = 0, return_coeffs: bool = False):
+        coeffs, state = smk_chain(key, self.pre, self._Q, self._R,
+                                  num_samples, thin, burn_in)
+        self.acceptance_rate = float(state.accepted / jnp.maximum(state.steps, 1))
+        if return_coeffs:
+            return coeffs
+        return klein_points(self.pre.basis, coeffs)

@@ -1,0 +1,251 @@
+"""Klein's randomized-rounding sampler, TPU-native.
+
+Parity: reference `src/samplers/klein.py` (RefinedKleinSampler) — QR with
+sign fix (:56-79), sigma validation (:81-99), backward-substitution sampling
+(:181-220), exact log-density with discrete normalizers (:222-271), batched
+sampling (:304-337), diagnostics (:339-354).
+
+TPU-native redesign (SURVEY.md section 3.1 "TPU mapping"):
+- The per-sample i = n-1..0 loop is a `lax.scan` whose per-row work is a dot
+  product R[i, :] @ x; under `vmap` over thousands of chains XLA batches this
+  into an (B, n) x (n,) matvec per row — VPU/MXU work, not scalar Python.
+- The reference's dynamic per-(mu, sigma) cached probability tables become a
+  fixed-width window with on-the-fly logits + Gumbel-max draw
+  (ops/discrete_gaussian.py) — static shapes, no host caching.
+- The scan also accumulates log Z_i(c_i, sigma_i) per coordinate. Because
+  sigma_i = sigma/R_ii exactly cancels the quadratic terms, the IMHK
+  importance weight is log w(x) = sum_i log Z_i — the proposal's importance
+  weight is a *free byproduct* of proposing (the reference recomputes it from
+  scratch per step, imhk.py:102-124).
+
+Everything here is a pure function of a PRNG key; `KleinSampler` is a thin
+convenience wrapper.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from lattice_gaussian_mcmc_tpu.lattices.base import Lattice
+from lattice_gaussian_mcmc_tpu.ops.discrete_gaussian import (
+    DEFAULT_WINDOW,
+    dgauss_logits,
+    sample_dgauss_with_logz,
+)
+from lattice_gaussian_mcmc_tpu.utils.prng import chain_keys
+from lattice_gaussian_mcmc_tpu.utils.stats import logsumexp
+
+
+@flax.struct.dataclass
+class KleinPrecomp:
+    """Center-dependent precomputation for Klein sampling on one lattice.
+
+    Fields:
+      basis:   (n, n) basis (columns = basis vectors).
+      U:       (n, n) unit-diagonal upper-triangular R / diag(R): row i holds
+               the conditional-mean coefficients.
+      cs:      (n,) scaled transformed center (Q^T c) / diag(R).
+      sigmas:  (n,) conditional widths sigma / R_ii.
+      sigma:   scalar target width.
+      window:  static window size for the 1D draws.
+    """
+
+    basis: jnp.ndarray
+    U: jnp.ndarray
+    cs: jnp.ndarray
+    sigmas: jnp.ndarray
+    sigma: jnp.ndarray
+    window: int = flax.struct.field(pytree_node=False, default=DEFAULT_WINDOW)
+
+    @property
+    def n(self) -> int:
+        return self.basis.shape[0]
+
+
+MAX_WINDOW = 1024
+
+
+def suggest_window(max_cond_sigma: float, tau: float = 6.0) -> int:
+    """Smallest multiple-of-8 window covering +-tau conditional sigmas."""
+    w = 2 * int(math.ceil(tau * max(1.0, float(max_cond_sigma)))) + 2
+    return max(8, ((w + 7) // 8) * 8)
+
+
+def klein_precompute(lattice: Lattice, sigma, center=None,
+                     window: Optional[int] = None) -> KleinPrecomp:
+    """Build the Klein precomputation from a lattice pytree.
+
+    Validates (host-side, when sigma is concrete) Klein's requirement
+    sigma >= max||b*_i|| / sqrt(2 ln n) — below it the windowed conditionals
+    are still correct but the output law drifts from D_{Lambda,sigma}
+    (reference klein.py:81-99 warns the same way).
+    """
+    r_diag = jnp.diagonal(lattice.R)
+    sigma_arr = jnp.asarray(sigma, dtype=lattice.R.dtype)
+    sigmas = sigma_arr / r_diag
+    if center is None:
+        center = jnp.zeros((lattice.n,), dtype=lattice.R.dtype)
+    cs = (lattice.Q.T @ jnp.asarray(center, dtype=lattice.R.dtype)) / r_diag
+    if window is None:
+        try:  # concrete values -> adapt the window; traced -> default
+            max_cond = float(jnp.max(sigmas))
+            if not math.isfinite(max_cond):
+                raise ValueError(
+                    "singular basis: a Gram-Schmidt norm is zero, so a "
+                    "conditional sigma is infinite — Klein sampling is "
+                    "undefined on rank-deficient bases")
+            window = suggest_window(max_cond)
+            if window > MAX_WINDOW:
+                import warnings
+                warnings.warn(
+                    f"conditional sigma {max_cond:.3g} needs window {window}"
+                    f" > {MAX_WINDOW}; clamping — tails beyond the window are"
+                    " truncated (nearly-singular basis? reduce it first)",
+                    stacklevel=2)
+                window = MAX_WINDOW
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            window = DEFAULT_WINDOW
+    U = lattice.R / r_diag[:, None]
+    return KleinPrecomp(basis=lattice.basis, U=U, cs=cs, sigmas=sigmas,
+                        sigma=sigma_arr, window=window)
+
+
+def _klein_scan(key: jax.Array, pre: KleinPrecomp):
+    """One Klein draw: backward substitution over rows. Returns integer-valued
+    float coeffs x (n,) and per-coordinate log-normalizers logZ (n,)."""
+    n = pre.n
+
+    def body(x, i):
+        # rows j <= i of x are still 0, so the full-row dot equals the
+        # sum over j > i (U has unit diagonal; x[i] = 0 here).
+        c_i = pre.cs[i] - pre.U[i] @ x
+        k_i = jax.random.fold_in(key, i)
+        z, logZ = sample_dgauss_with_logz(k_i, c_i, pre.sigmas[i], pre.window)
+        return x.at[i].set(z), logZ
+
+    x0 = jnp.zeros((n,), dtype=pre.U.dtype)
+    idx = jnp.arange(n - 1, -1, -1)
+    x, logZs = jax.lax.scan(body, x0, idx)
+    # logZs is ordered n-1..0; order does not matter for the sum but return
+    # coordinate-ordered for diagnostics.
+    return x, logZs[::-1]
+
+
+def klein_sample(key: jax.Array, pre: KleinPrecomp):
+    """Single Klein draw: returns (coeffs (n,), log_w scalar) where
+    log_w = sum_i log Z_i is the unnormalized IMHK log importance weight."""
+    x, logZs = _klein_scan(key, pre)
+    return x, jnp.sum(logZs)
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def klein_sample_batch(key: jax.Array, pre: KleinPrecomp, num_samples: int):
+    """Batched Klein sampling: (num_samples, n) coeffs + (num_samples,)
+    log weights. vmap over chain keys; XLA turns the per-row dots into
+    (B, n) matvecs."""
+    keys = chain_keys(key, num_samples)
+    return jax.vmap(klein_sample, in_axes=(0, None))(keys, pre)
+
+
+def klein_points(basis, coeffs):
+    """Map integer coefficients to lattice points: basis @ x (batched)."""
+    return coeffs @ basis.T
+
+
+def klein_log_density(coeffs, pre: KleinPrecomp):
+    """Exact log q(x) of Klein's distribution at integer coefficients x,
+    including the per-coordinate discrete normalizers (reference
+    klein.py:222-271 — but fully parallel here: given x, every conditional
+    mean is a row of a triangular matvec, no sequential pass needed).
+
+    Accepts (n,) or (B, n) coeffs.
+    """
+    def one(x):
+        ux = pre.U @ x
+        c = pre.cs - ux + x  # c_i = cs_i - sum_{j>i} U_ij x_j
+        _, logits = dgauss_logits(c, pre.sigmas, pre.window)
+        logZ = logsumexp(logits, axis=-1)
+        quad = -0.5 * ((x - c) / pre.sigmas) ** 2
+        return jnp.sum(quad - logZ)
+
+    coeffs = jnp.asarray(coeffs, dtype=pre.U.dtype)
+    if coeffs.ndim == 1:
+        return one(coeffs)
+    return jax.vmap(one)(coeffs)
+
+
+def klein_log_weight(coeffs, pre: KleinPrecomp):
+    """log w(x) = log pi~(x) - log q(x) = sum_i log Z_i(c_i, sigma_i) at x —
+    evaluated in parallel for arbitrary x (not just fresh proposals)."""
+    def one(x):
+        ux = pre.U @ x
+        c = pre.cs - ux + x
+        _, logits = dgauss_logits(c, pre.sigmas, pre.window)
+        return jnp.sum(logsumexp(logits, axis=-1))
+
+    coeffs = jnp.asarray(coeffs, dtype=pre.U.dtype)
+    if coeffs.ndim == 1:
+        return one(coeffs)
+    return jax.vmap(one)(coeffs)
+
+
+class KleinSampler:
+    """Convenience OO wrapper (mirrors the reference's
+    `KleinSampler(lattice, sigma).sample(N)` surface, klein.py:26-54,324-337)
+    around the pure functions above."""
+
+    def __init__(self, lattice: Lattice, sigma: float, center=None,
+                 window: Optional[int] = None):
+        self.lattice = lattice
+        self.sigma = float(sigma)
+        self.pre = klein_precompute(lattice, sigma, center, window)
+        self._validate()
+
+    def _validate(self):
+        import numpy as np
+        n = self.lattice.n
+        max_gs = float(jnp.max(jnp.abs(jnp.diagonal(self.lattice.R))))
+        klein_lower = max_gs / math.sqrt(2 * math.log(n + 1))
+        if self.sigma < 0.9 * klein_lower:
+            import warnings
+            warnings.warn(
+                f"sigma={self.sigma:.4g} below Klein requirement "
+                f"(~{klein_lower:.4g}); samples may deviate from "
+                f"D_(Lambda,sigma)", stacklevel=2)
+        max_cond = float(jnp.max(self.pre.sigmas))
+        if 6.0 * max_cond > self.pre.window / 2:
+            import warnings
+            warnings.warn(
+                f"window {self.pre.window} covers only "
+                f"{self.pre.window / 2 / max_cond:.1f} conditional sigmas; "
+                "increase `window`", stacklevel=2)
+
+    def sample(self, key, num_samples: int = 1, return_coeffs: bool = False):
+        coeffs, _ = klein_sample_batch(key, self.pre, num_samples)
+        if return_coeffs:
+            return coeffs
+        return klein_points(self.pre.basis, coeffs)
+
+    def sample_with_weights(self, key, num_samples: int):
+        return klein_sample_batch(key, self.pre, num_samples)
+
+    def log_density(self, coeffs):
+        return klein_log_density(coeffs, self.pre)
+
+    def diagnostic_info(self):
+        r = jnp.abs(jnp.diagonal(self.lattice.R))
+        return {
+            "algorithm": "Klein (TPU scan)",
+            "sigma": self.sigma,
+            "window": self.pre.window,
+            "min_R_diag": float(jnp.min(r)),
+            "max_R_diag": float(jnp.max(r)),
+            "min_conditional_sigma": float(jnp.min(self.pre.sigmas)),
+            "max_conditional_sigma": float(jnp.max(self.pre.sigmas)),
+        }

@@ -1,0 +1,114 @@
+"""Peikert's convolution sampler — the fully-parallel (scan-free) lattice
+Gaussian sampler, named by the BASELINE north star.
+
+Algorithm (Peikert, "An Efficient and Parallel Gaussian Sampler for
+Lattices", CRYPTO 2010): to sample x with Bx ~ D_{Lambda, sigma, c},
+  1. choose per-coordinate rounding width r >= eta_eps(Z);
+  2. perturb: p ~ N(0, Sigma2) continuous, with
+       Sigma2 = sigma^2 (B^T B)^{-1} - r^2 I   (PSD iff sigma >= r s1(B));
+  3. round independently: x_i ~ D_{Z, r, (c' - p)_i},  c' = B^{-1} c.
+Every step is elementwise or a single matvec — unlike Klein there is NO
+sequential dependence, so on TPU the whole batch is one fused kernel. The
+price: sigma must exceed r * s1(B) (Klein only needs ~max ||b*_i||).
+
+This capability has no direct reference equivalent (the reference only
+implements Klein/IMHK); it is included because the BASELINE north star lists
+it and it is the natural MXU-friendly sampler for large sigma.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from lattice_gaussian_mcmc_tpu.lattices.base import Lattice
+from lattice_gaussian_mcmc_tpu.ops.discrete_gaussian import (
+    DEFAULT_WINDOW,
+    sample_dgauss,
+)
+from lattice_gaussian_mcmc_tpu.ops.theta import smoothing_parameter_zn
+from lattice_gaussian_mcmc_tpu.utils.prng import chain_keys
+
+
+@flax.struct.dataclass
+class PeikertPrecomp:
+    basis: jnp.ndarray       # (n, n)
+    L2: jnp.ndarray          # (n, n) Cholesky factor of Sigma2
+    cprime: jnp.ndarray      # (n,) B^{-1} c
+    r: jnp.ndarray           # scalar rounding width
+    sigma: jnp.ndarray       # scalar target width
+    window: int = flax.struct.field(pytree_node=False, default=DEFAULT_WINDOW)
+
+    @property
+    def n(self) -> int:
+        return self.basis.shape[0]
+
+
+def peikert_precompute(lattice: Lattice, sigma, center=None,
+                       r: Optional[float] = None, eps: float = 0.01,
+                       window: int = DEFAULT_WINDOW) -> PeikertPrecomp:
+    """Host/device precompute: Cholesky of Sigma2 and the coefficient-space
+    center. Raises (via NaN check on host use) if sigma < r * s1(B)."""
+    n = lattice.n
+    dtype = lattice.basis.dtype
+    sigma = jnp.asarray(sigma, dtype=dtype)
+    if r is None:
+        r = smoothing_parameter_zn(n, eps)
+    r = jnp.asarray(r, dtype=dtype)
+    G = lattice.basis.T @ lattice.basis
+    Ginv = jnp.linalg.inv(G)
+    # total coefficient-space covariance must be sigma^2 (B^T B)^{-1}; the
+    # randomized rounding contributes ~ r^2 I, so the continuous perturbation
+    # carries the remainder:
+    Sigma2 = sigma**2 * Ginv - r**2 * jnp.eye(n, dtype=dtype)
+    # jitter for the PSD boundary
+    L2 = jnp.linalg.cholesky(Sigma2 + 1e-10 * jnp.eye(n, dtype=dtype))
+    if center is None:
+        cprime = jnp.zeros((n,), dtype=dtype)
+    else:
+        cprime = jnp.linalg.solve(lattice.basis,
+                                  jnp.asarray(center, dtype=dtype))
+    return PeikertPrecomp(basis=lattice.basis, L2=L2, cprime=cprime, r=r,
+                          sigma=sigma, window=window)
+
+
+def peikert_sample(key: jax.Array, pre: PeikertPrecomp):
+    """One draw: returns integer-valued float coefficients (n,)."""
+    k_pert, k_round = jax.random.split(key)
+    p = pre.L2 @ jax.random.normal(k_pert, (pre.n,), dtype=pre.L2.dtype)
+    centers = pre.cprime - p
+    sig = jnp.full((pre.n,), pre.r, dtype=pre.L2.dtype)
+    return sample_dgauss(k_round, centers, sig, pre.window)
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def peikert_sample_batch(key: jax.Array, pre: PeikertPrecomp, num_samples: int):
+    keys = chain_keys(key, num_samples)
+    return jax.vmap(peikert_sample, in_axes=(0, None))(keys, pre)
+
+
+class PeikertSampler:
+    """OO wrapper with validity checking."""
+
+    def __init__(self, lattice: Lattice, sigma: float, center=None,
+                 r: Optional[float] = None, eps: float = 0.01,
+                 window: int = DEFAULT_WINDOW):
+        self.lattice = lattice
+        self.sigma = float(sigma)
+        self.pre = peikert_precompute(lattice, sigma, center, r, eps, window)
+        s1 = float(jnp.linalg.norm(lattice.basis, ord=2))
+        r_val = float(self.pre.r)
+        if self.sigma < r_val * s1:
+            raise ValueError(
+                f"Peikert requires sigma >= r * s1(B) = {r_val * s1:.4g}; "
+                f"got sigma={self.sigma:.4g}. Use Klein/IMHK for small sigma.")
+
+    def sample(self, key, num_samples: int = 1, return_coeffs: bool = False):
+        coeffs = peikert_sample_batch(key, self.pre, num_samples)
+        if return_coeffs:
+            return coeffs
+        return coeffs @ self.pre.basis.T

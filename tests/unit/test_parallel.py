@@ -1,0 +1,98 @@
+"""Sharded sampling + collective diagnostics on the 8-device virtual CPU
+mesh (SURVEY.md section 4 multi-node testing: mesh-shape invariance of
+global diagnostics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lattice_gaussian_mcmc_tpu.lattices import (
+    identity_lattice,
+    lattice_from_basis,
+)
+from lattice_gaussian_mcmc_tpu.parallel import (
+    make_mesh,
+    sharded_imhk_chains,
+    sharded_klein_batch,
+    global_acceptance,
+    global_moments,
+    global_gelman_rubin,
+)
+from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+from lattice_gaussian_mcmc_tpu.samplers.imhk import imhk_chains
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_klein_matches_local(key):
+    lat = identity_lattice(4, dtype=jnp.float64)
+    pre = klein_precompute(lat, 2.0)
+    mesh = make_mesh()
+    coeffs_s, lw_s = sharded_klein_batch(key, pre, 64, mesh)
+    from lattice_gaussian_mcmc_tpu.samplers import klein_sample_batch
+    coeffs_l, lw_l = klein_sample_batch(key, pre, 64)
+    # bitwise identical: chain-indexed fold_in keys are mesh-shape independent
+    np.testing.assert_array_equal(np.asarray(coeffs_s), np.asarray(coeffs_l))
+    np.testing.assert_array_equal(np.asarray(lw_s), np.asarray(lw_l))
+
+
+def test_sharded_imhk_matches_local(key):
+    basis = np.array([[2.0, 1.0], [0.0, 3.0]])
+    lat = lattice_from_basis(basis, dtype=jnp.float64)
+    pre = klein_precompute(lat, 4.0)
+    mesh = make_mesh()
+    coeffs_s, lw_s, stats = sharded_imhk_chains(key, pre, n_chains=16,
+                                                n_samples=10, mesh=mesh)
+    coeffs_l, lw_l, states_l = imhk_chains(key, pre, n_chains=16, n_samples=10)
+    np.testing.assert_array_equal(np.asarray(coeffs_s), np.asarray(coeffs_l))
+    acc_local = float(np.sum(np.asarray(states_l.accepted)) /
+                      np.sum(np.asarray(states_l.steps)))
+    np.testing.assert_allclose(float(stats["acceptance_rate"]), acc_local,
+                               rtol=1e-6)
+
+
+def test_mesh_shape_invariance(key):
+    # global stats must not depend on how many devices participate
+    lat = identity_lattice(3, dtype=jnp.float64)
+    pre = klein_precompute(lat, 2.0)
+    res = []
+    for nd in (1, 2, 8):
+        mesh = make_mesh(nd)
+        coeffs, lw, stats = sharded_imhk_chains(key, pre, n_chains=8,
+                                                n_samples=5, mesh=mesh)
+        res.append((np.asarray(coeffs), float(stats["acceptance_rate"])))
+    for c, a in res[1:]:
+        np.testing.assert_array_equal(res[0][0], c)
+        assert abs(res[0][1] - a) < 1e-6
+
+
+def test_global_moments(key):
+    mesh = make_mesh()
+    x = jax.random.normal(key, (64, 10, 3), dtype=jnp.float64) * 2.0 + 1.0
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    x = jax.device_put(x, NamedSharding(mesh, P("chains")))
+    mean, std = global_moments(x, mesh)
+    np.testing.assert_allclose(np.asarray(mean), np.mean(np.asarray(x), (0, 1)),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(std), np.std(np.asarray(x), (0, 1)),
+                               rtol=1e-6)
+
+
+def test_global_gelman_rubin_matches_serial(key):
+    from lattice_gaussian_mcmc_tpu.diagnostics import gelman_rubin
+    mesh = make_mesh()
+    chains = jax.random.normal(key, (16, 100), dtype=jnp.float64)
+    r_serial = float(gelman_rubin(chains))
+    r_dist = float(global_gelman_rubin(chains, mesh))
+    np.testing.assert_allclose(r_dist, r_serial, rtol=1e-9)
+
+
+def test_global_acceptance(key):
+    mesh = make_mesh()
+    acc = jnp.arange(8, dtype=jnp.int32)
+    tot = jnp.full((8,), 10, dtype=jnp.int32)
+    rate = float(global_acceptance(acc, tot, mesh))
+    np.testing.assert_allclose(rate, np.arange(8).sum() / 80.0, rtol=1e-6)
