@@ -24,12 +24,15 @@ def main():
     from lattice_gaussian_mcmc_tpu.lattices import ntru_lattice
     from lattice_gaussian_mcmc_tpu.lattices.qary import falcon_parameters
     from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
-    from lattice_gaussian_mcmc_tpu.samplers.imhk import imhk_init, imhk_step
-    from lattice_gaussian_mcmc_tpu.utils.prng import chain_keys
+    from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
+        imhk_steps_batch_blocked,
+        klein_sample_batch_blocked,
+    )
 
     n_ring = int(os.environ.get("BENCH_N", "512"))
     n_chains = int(os.environ.get("BENCH_CHAINS", "4096"))
     n_steps = int(os.environ.get("BENCH_STEPS", "64"))
+    block = int(os.environ.get("BENCH_BLOCK", "128"))
 
     lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
                        dtype=jnp.float32)
@@ -38,37 +41,31 @@ def main():
     pre = klein_precompute(lat, sigma)
 
     key = jax.random.key(0)
-    keys = chain_keys(key, n_chains)
-    states = jax.vmap(lambda k: imhk_init(k, pre))(keys)
-
-    @jax.jit
-    def run_steps(states, step_key):
-        def body(states, i):
-            step_base = jax.random.fold_in(step_key, i)
-            ks = jax.vmap(lambda c: jax.random.fold_in(step_base, c))(
-                jnp.arange(n_chains))
-            states = jax.vmap(lambda k, s: imhk_step(k, s, pre))(ks, states)
-            return states, None
-        states, _ = jax.lax.scan(body, states, jnp.arange(n_steps))
-        return states
+    coeffs, log_ws = klein_sample_batch_blocked(key, pre, n_chains, block)
 
     # warmup / compile
     t0 = time.perf_counter()
-    states = run_steps(states, jax.random.fold_in(key, 1))
-    jax.block_until_ready(states)
+    out = imhk_steps_batch_blocked(jax.random.fold_in(key, 1), pre, coeffs,
+                                   log_ws, n_steps, block)
+    jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
+    coeffs, log_ws, _ = out
 
     # timed runs
     t0 = time.perf_counter()
     n_rep = 3
+    acc_total = 0.0
     for r in range(n_rep):
-        states = run_steps(states, jax.random.fold_in(key, 2 + r))
-    jax.block_until_ready(states)
+        coeffs, log_ws, acc = imhk_steps_batch_blocked(
+            jax.random.fold_in(key, 2 + r), pre, coeffs, log_ws, n_steps,
+            block)
+        acc_total += float(jnp.sum(acc))
+    jax.block_until_ready(coeffs)
     dt = time.perf_counter() - t0
 
     total_samples = n_chains * n_steps * n_rep
     sps = total_samples / dt
-    acc = float(jnp.sum(states.accepted)) / max(float(jnp.sum(states.steps)), 1)
+    acc = acc_total / total_samples
 
     result = {
         "metric": "imhk_samples_per_sec_ntru512",

@@ -37,8 +37,9 @@ def integrated_autocorr_time(x, max_lag: int = 256, c: float = 5.0):
     implementation: compute tau(W) for all W, take the first admissible one.
     """
     acf = autocorrelation(x, max_lag)
+    L = acf.shape[0] - 1  # may be < max_lag for short chains
     cumsum = jnp.cumsum(acf[1:])
-    w = jnp.arange(1, max_lag + 1, dtype=x.dtype)
+    w = jnp.arange(1, L + 1, dtype=x.dtype)
     taus = 1.0 + 2.0 * cumsum
     admissible = w >= c * taus
     # first admissible index; if none, use max_lag

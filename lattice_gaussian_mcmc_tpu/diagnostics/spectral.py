@@ -116,3 +116,41 @@ def optimal_omega(log_ws) -> float:
     """
     lw = np.ravel(np.asarray(log_ws))
     return float(np.exp(lw.max() - (np.logaddexp.reduce(lw) - math.log(lw.size))))
+
+
+def transition_decomposition(log_ws):
+    """P = G + e q^T decomposition of the IMHK kernel (Wang-Ling eq. 18,
+    reference spectral.py:221-271): with normalized weights w_i, the kernel
+    splits into an off-diagonal part G and a rank-one jump component whose
+    row q has q_j = pi_j * min(1, w_j / w_i)-style acceptance mass. Returns
+    summary statistics of the decomposition computed over the sampled
+    states: the rank-one mass fraction (average total acceptance probability
+    into fresh proposals) and the diagonal (rejection) mass."""
+    lw = jnp.ravel(jnp.asarray(log_ws))
+    m = jnp.max(lw)
+    w = jnp.exp(lw - m)  # relative weights
+    # acceptance of a proposal j from state i: min(1, w_j / w_i).
+    # Averaging over i ~ empirical pi and j ~ q estimates the jump mass.
+    wi = w[:, None]
+    wj = w[None, :]
+    acc = jnp.minimum(1.0, wj / wi)
+    jump_mass = float(jnp.mean(acc))
+    return {
+        "jump_mass": jump_mass,
+        "rejection_mass": 1.0 - jump_mass,
+        "max_weight_ratio": float(jnp.max(w) / jnp.mean(w)),
+    }
+
+
+def triangular_structure_analysis(P):
+    """Structure metrics of an empirical transition matrix (reference
+    spectral.py:273-310): mass above/below the diagonal and diagonal
+    dominance — IMHK kernels are nearly 'triangular' when ordered by
+    importance weight."""
+    P = np.asarray(P)
+    k = P.shape[0]
+    upper = float(np.triu(P, 1).sum() / k)
+    lower = float(np.tril(P, -1).sum() / k)
+    diag = float(np.diag(P).sum() / k)
+    return {"upper_mass": upper, "lower_mass": lower, "diagonal_mass": diag,
+            "asymmetry": upper - lower}

@@ -1,0 +1,137 @@
+"""Performance benchmark suite across algorithms x lattices x dimensions.
+
+Parity: reference `experiments/scripts/benchmark_performance.py` (C29):
+sampling benchmarks with warmup + timing percentiles (:151-309), reduction
+benchmarks (:195-364), result tables (:449-623). Times are wall-clock over
+jitted batched runs on whatever backend is active (TPU under axon, CPU in
+tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lattice_gaussian_mcmc_tpu.experiments.configs import BenchmarkConfig
+from lattice_gaussian_mcmc_tpu.lattices import (
+    identity_lattice,
+    lattice_from_basis,
+    qary_lattice,
+)
+from lattice_gaussian_mcmc_tpu.lattices.identity import sample_zn
+from lattice_gaussian_mcmc_tpu.samplers import (
+    PeikertSampler,
+    klein_precompute,
+)
+from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
+    imhk_steps_batch_blocked,
+    klein_sample_batch_blocked,
+)
+
+
+def _time_fn(fn, warmup: int, runs: int) -> Dict[str, float]:
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    arr = np.array(times)
+    return {"mean_s": float(arr.mean()), "p50_s": float(np.percentile(arr, 50)),
+            "min_s": float(arr.min()), "max_s": float(arr.max())}
+
+
+def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
+                    key=None) -> Optional[Dict]:
+    """One (algorithm, dimension) cell. Returns None if the combination is
+    not applicable (e.g. Peikert needs sigma >= r s1)."""
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    B = cfg.n_chains
+    n_samples = cfg.n_samples
+
+    if algorithm == "direct":
+        lat = identity_lattice(n, dtype=dtype)
+        sigma = 5.0
+
+        def run(k=key):
+            return sample_zn(k, n=n, sigma=sigma, shape=(B,))
+    else:
+        lat = qary_lattice(n, n // 2, q=3329, seed=cfg.seed, dtype=dtype)
+        from lattice_gaussian_mcmc_tpu.reduction import lll_reduce
+        if n <= 256:
+            lat = lattice_from_basis(lll_reduce(np.asarray(lat.basis)),
+                                     name=lat.name + "-lll", dtype=dtype)
+        sigma = 1.5 * float(jnp.max(lat.gs_norms))
+        pre = klein_precompute(lat, sigma)
+        if algorithm == "klein":
+            def run(k=key):
+                return klein_sample_batch_blocked(k, pre, B, cfg.block)
+        elif algorithm == "imhk":
+            X0, lw0 = klein_sample_batch_blocked(key, pre, B, cfg.block)
+
+            def run(k=key, X0=X0, lw0=lw0):
+                return imhk_steps_batch_blocked(k, pre, X0, lw0, 4, cfg.block)
+        elif algorithm == "peikert":
+            try:
+                s = PeikertSampler(lat, 2.0 * sigma *
+                                   float(jnp.linalg.norm(lat.basis, ord=2)) /
+                                   float(jnp.max(lat.gs_norms)))
+            except ValueError:
+                return None
+
+            def run(k=key, s=s):
+                return s.sample(k, B, return_coeffs=True)
+        else:
+            raise ValueError(f"unknown algorithm {algorithm}")
+
+    stats = _time_fn(run, cfg.warmup_runs, cfg.timed_runs)
+    per_batch = B * (4 if algorithm == "imhk" else 1)
+    return {"algorithm": algorithm, "dimension": n,
+            "samples_per_sec": per_batch / stats["p50_s"], **stats}
+
+
+def bench_reduction(n: int, cfg: BenchmarkConfig) -> Dict:
+    """LLL/BKZ wall-clock on a random q-ary basis (reference :195-364)."""
+    from lattice_gaussian_mcmc_tpu.reduction import (
+        bkz_reduce,
+        lll_reduce,
+        native_available,
+    )
+    lat = qary_lattice(n, n // 2, q=3329, seed=cfg.seed)
+    B = np.asarray(lat.basis)
+    out = {"dimension": n, "native": native_available()}
+    t0 = time.perf_counter()
+    R = lll_reduce(B)
+    out["lll_s"] = time.perf_counter() - t0
+    if native_available() and n <= 256:
+        t0 = time.perf_counter()
+        bkz_reduce(R, beta=20, max_tours=2)
+        out["bkz20_s"] = time.perf_counter() - t0
+    return out
+
+
+def run_benchmarks(cfg: Optional[BenchmarkConfig] = None) -> Dict:
+    cfg = cfg or BenchmarkConfig()
+    out_dir = cfg.ensure_output()
+    results: List[Dict] = []
+    key = jax.random.key(cfg.seed)
+    for n in cfg.dimensions:
+        for alg in cfg.algorithms:
+            r = bench_algorithm(alg, n, cfg, jax.random.fold_in(key, hash(alg) % 2**31))
+            if r is not None:
+                results.append(r)
+    red = [bench_reduction(n, cfg) for n in cfg.dimensions if n <= 256]
+    payload = {"sampling": results, "reduction": red,
+               "device": str(jax.devices()[0])}
+    with open(os.path.join(out_dir, "benchmark_results.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=float)
+    return payload

@@ -1,0 +1,126 @@
+"""Master experiment runner CLI.
+
+Parity: reference `experiments/scripts/run_all_experiments.py:341-395`
+(argparse `--experiments {convergence,scaling,crypto,sensitivity,spectral}`
+and the `lattice-mcmc` console entry point, setup.py:53-57). The older
+reference runner generated Sage scripts and shelled out (SURVEY section 3.3);
+here everything runs in-process on the active JAX backend.
+
+Usage:
+    python -m lattice_gaussian_mcmc_tpu.experiments.cli \
+        --experiments convergence crypto --output-dir results --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List
+
+
+EXPERIMENTS = ("convergence", "scaling", "crypto", "sensitivity",
+               "validation", "benchmark")
+
+
+def run_experiment(name: str, output_dir: str, quick: bool, cpu: bool) -> Dict:
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    t0 = time.perf_counter()
+    if name == "convergence":
+        from lattice_gaussian_mcmc_tpu.experiments.configs import ConvergenceConfig
+        from lattice_gaussian_mcmc_tpu.experiments.convergence_study import run_study
+        cfg = ConvergenceConfig(output_dir=os.path.join(output_dir, name))
+        if quick:
+            cfg = ConvergenceConfig(
+                output_dir=cfg.output_dir, dimensions=(2, 4),
+                n_samples=5_000, n_chains=4, burn_in=100,
+                tvd_checkpoints=(10, 100, 1000))
+        out = run_study(cfg)
+    elif name == "scaling":
+        from lattice_gaussian_mcmc_tpu.experiments.configs import ScalingConfig
+        from lattice_gaussian_mcmc_tpu.experiments.dimension_scaling import run_scaling
+        cfg = ScalingConfig(output_dir=os.path.join(output_dir, name))
+        if quick:
+            cfg = ScalingConfig(output_dir=cfg.output_dir,
+                                dimensions=(16, 32), n_samples=2_000,
+                                n_chains_grid=(256, 1024))
+        out = run_scaling(cfg)
+    elif name == "crypto":
+        from lattice_gaussian_mcmc_tpu.experiments.configs import CryptoConfig
+        from lattice_gaussian_mcmc_tpu.experiments.cryptographic import (
+            run_crypto_suite,
+            sigma_sensitivity,
+        )
+        cfg = CryptoConfig(output_dir=os.path.join(output_dir, name))
+        if quick:
+            cfg = CryptoConfig(output_dir=cfg.output_dir, ntru_n=(32,),
+                               qary_dims=(32,), n_samples=2_000,
+                               n_chains=256)
+        out = {"suite": run_crypto_suite(cfg),
+               "sigma_sensitivity": sigma_sensitivity(cfg)}
+    elif name == "sensitivity":
+        from lattice_gaussian_mcmc_tpu.experiments.configs import SensitivityConfig
+        from lattice_gaussian_mcmc_tpu.experiments.parameter_sensitivity import (
+            run_sensitivity,
+        )
+        cfg = SensitivityConfig(output_dir=os.path.join(output_dir, name))
+        if quick:
+            cfg = SensitivityConfig(output_dir=cfg.output_dir, dimension=8,
+                                    sigma_grid_size=7, n_samples=3_000)
+        out = run_sensitivity(cfg)
+    elif name == "validation":
+        from lattice_gaussian_mcmc_tpu.experiments.klein_validation import run_suite
+        out = run_suite(output_dir=os.path.join(output_dir, name), quick=quick)
+    elif name == "benchmark":
+        from lattice_gaussian_mcmc_tpu.experiments.configs import BenchmarkConfig
+        from lattice_gaussian_mcmc_tpu.experiments.benchmark import run_benchmarks
+        cfg = BenchmarkConfig(output_dir=os.path.join(output_dir, name))
+        if quick:
+            cfg = BenchmarkConfig(output_dir=cfg.output_dir,
+                                  dimensions=(16, 64), n_chains=512,
+                                  n_samples=2_000, timed_runs=2)
+        out = run_benchmarks(cfg)
+    else:
+        raise ValueError(f"unknown experiment {name!r}")
+    return {"experiment": name, "seconds": time.perf_counter() - t0,
+            "results": out}
+
+
+def main(argv: List[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="lattice-mcmc",
+        description="TPU-native lattice Gaussian MCMC experiment runner")
+    p.add_argument("--experiments", nargs="+", choices=EXPERIMENTS + ("all",),
+                   default=["all"])
+    p.add_argument("--output-dir", default="results")
+    p.add_argument("--quick", action="store_true",
+                   help="small budgets for smoke runs")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (leave the TPU alone)")
+    args = p.parse_args(argv)
+
+    names = list(EXPERIMENTS) if "all" in args.experiments else args.experiments
+    os.makedirs(args.output_dir, exist_ok=True)
+    summary = []
+    for name in names:
+        print(f"[lattice-mcmc] running {name} ...", flush=True)
+        try:
+            r = run_experiment(name, args.output_dir, args.quick, args.cpu)
+            summary.append({"experiment": name, "ok": True,
+                            "seconds": r["seconds"]})
+            print(f"[lattice-mcmc] {name} done in {r['seconds']:.1f}s")
+        except Exception as e:  # continue like the reference runner
+            import traceback
+            traceback.print_exc()
+            summary.append({"experiment": name, "ok": False, "error": str(e)})
+    with open(os.path.join(args.output_dir, "run_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return 0 if all(s["ok"] for s in summary) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

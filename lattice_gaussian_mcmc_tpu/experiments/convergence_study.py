@@ -1,0 +1,196 @@
+"""Convergence study: Klein vs IMHK over a sigma grid with enumerated ground
+truth, TVD decay, spectral-gap analysis, and dimension scaling.
+
+Parity: reference `experiments/convergence_study.py` (C23) — algorithm
+comparison with exhaustive-enumeration ground truth (:192-236, :390-415),
+Klein/IMHK convergence analyses (:438-552), spectral-gap analysis
+(:238-293), dimension scaling (:295-339), multi-chain runs (:499-500 —
+`mp.Pool` there, `vmap` here), results output (:692-1213).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lattice_gaussian_mcmc_tpu.diagnostics import (
+    effective_sample_size,
+    gelman_rubin,
+)
+from lattice_gaussian_mcmc_tpu.diagnostics.spectral import (
+    mixing_time_bounds,
+    spectral_gap_mc,
+    spectral_gap_theoretical,
+)
+from lattice_gaussian_mcmc_tpu.experiments.configs import ConvergenceConfig
+from lattice_gaussian_mcmc_tpu.lattices import (
+    identity_lattice,
+    lattice_from_basis,
+    qary_lattice,
+)
+from lattice_gaussian_mcmc_tpu.lattices.base import smoothing_parameter
+from lattice_gaussian_mcmc_tpu.samplers import (
+    klein_precompute,
+    klein_sample_batch,
+)
+from lattice_gaussian_mcmc_tpu.samplers.imhk import imhk_chains
+
+
+def _make_lattice(kind: str, n: int, seed: int, dtype):
+    """Lattice factory (reference _create_lattice, :341-371)."""
+    if kind == "identity":
+        return identity_lattice(n, dtype=dtype)
+    if kind == "qary":
+        lat = qary_lattice(n, n // 2, q=257, seed=seed, dtype=dtype)
+        from lattice_gaussian_mcmc_tpu.reduction import lll_reduce
+        return lattice_from_basis(lll_reduce(np.asarray(lat.basis)),
+                                  name=lat.name + "-lll", dtype=dtype)
+    if kind == "skew":
+        rng = np.random.default_rng(seed)
+        B = np.triu(rng.uniform(-0.6, 0.6, (n, n))) + np.eye(n)
+        np.fill_diagonal(B, 1.0)
+        return lattice_from_basis(B, name=f"skew{n}", dtype=dtype)
+    raise ValueError(kind)
+
+
+def _ground_truth(basis: np.ndarray, sigma: float, radius: int) -> Dict:
+    """Exact D_{Lambda,sigma} pmf by coefficient enumeration (reference
+    _compute_ground_truth, :390-415). Only feasible for n <= ~4."""
+    n = basis.shape[0]
+    coords = np.array(list(itertools.product(range(-radius, radius + 1),
+                                             repeat=n)), dtype=np.float64)
+    pts = coords @ basis.T
+    lp = -0.5 * np.sum(pts**2, axis=1) / sigma**2
+    p = np.exp(lp - lp.max())
+    p /= p.sum()
+    return {tuple(map(int, c)): q for c, q in zip(coords, p)}
+
+
+def _tvd_vs_truth(coeffs: np.ndarray, truth: Dict) -> float:
+    u, c = np.unique(coeffs.astype(np.int64), axis=0, return_counts=True)
+    emp = {tuple(map(int, x)): k / c.sum() for x, k in zip(u, c)}
+    keys = set(emp) | set(truth)
+    return 0.5 * sum(abs(emp.get(k, 0) - truth.get(k, 0)) for k in keys)
+
+
+def compare_algorithms(cfg: Optional[ConvergenceConfig] = None,
+                       kind: str = "skew") -> List[Dict]:
+    """Klein vs IMHK TVD-to-truth across the sigma grid (small n)."""
+    cfg = cfg or ConvergenceConfig()
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    key = jax.random.key(cfg.seed)
+    results = []
+    for n in [d for d in cfg.dimensions if d <= 3]:
+        lat = _make_lattice(kind, n, cfg.seed, dtype)
+        eta = float(smoothing_parameter(lat))
+        for f in cfg.sigma_factors:
+            sigma = f * eta
+            pre = klein_precompute(lat, sigma)
+            truth = _ground_truth(np.asarray(lat.basis), sigma,
+                                  cfg.enumeration_radius)
+            kc, lw = klein_sample_batch(jax.random.fold_in(key, 1), pre,
+                                        cfg.n_samples)
+            ic, _, states = imhk_chains(jax.random.fold_in(key, 2), pre,
+                                        n_chains=cfg.n_chains,
+                                        n_samples=cfg.n_samples // cfg.n_chains,
+                                        burn_in=cfg.burn_in)
+            ic_flat = np.asarray(ic).reshape(-1, n)
+            results.append({
+                "dimension": n, "sigma": sigma, "sigma_over_eta": f,
+                "klein_tvd": _tvd_vs_truth(np.asarray(kc), truth),
+                "imhk_tvd": _tvd_vs_truth(ic_flat, truth),
+                "acceptance": float(np.sum(np.asarray(states.accepted))) /
+                              max(float(np.sum(np.asarray(states.steps))), 1),
+                "spectral_gap_mc": float(spectral_gap_mc(lw)),
+            })
+    return results
+
+
+def spectral_analysis(cfg: Optional[ConvergenceConfig] = None,
+                      kind: str = "skew") -> List[Dict]:
+    """Spectral gap (MC + theoretical) and mixing-time bounds per regime."""
+    cfg = cfg or ConvergenceConfig()
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    key = jax.random.key(cfg.seed)
+    out = []
+    for n in cfg.dimensions:
+        lat = _make_lattice(kind, n, cfg.seed, dtype)
+        eta = float(smoothing_parameter(lat))
+        for f in cfg.sigma_factors:
+            sigma = f * eta
+            pre = klein_precompute(lat, sigma)
+            _, lw = klein_sample_batch(jax.random.fold_in(key, n), pre, 4000)
+            gap_mc = float(spectral_gap_mc(lw))
+            gap_th = float(spectral_gap_theoretical(lw, pre.sigmas))
+            out.append({"dimension": n, "sigma_over_eta": f,
+                        "gap_mc": gap_mc, "gap_theory": gap_th,
+                        "mixing": mixing_time_bounds(gap_mc)})
+    return out
+
+
+def tvd_decay(cfg: Optional[ConvergenceConfig] = None) -> List[Dict]:
+    """TVD to stationarity vs chain length at the configured checkpoints,
+    compared against the (1 - delta)^t bound (reference :100-150)."""
+    cfg = cfg or ConvergenceConfig()
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    key = jax.random.key(cfg.seed)
+    basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    lat = lattice_from_basis(basis, dtype=dtype)
+    sigma = 0.35
+    pre = klein_precompute(lat, sigma)
+    truth = _ground_truth(basis, sigma, 10)
+    coeffs, _, _ = imhk_chains(key, pre, n_chains=cfg.n_chains,
+                               n_samples=max(cfg.tvd_checkpoints))
+    _, lw = klein_sample_batch(jax.random.fold_in(key, 9), pre, 4000)
+    delta = float(spectral_gap_mc(lw))
+    flat = np.asarray(coeffs)
+    out = []
+    for t in cfg.tvd_checkpoints:
+        prefix = flat[:, :t, :].reshape(-1, 2)
+        out.append({"t": t, "tvd": _tvd_vs_truth(prefix, truth),
+                    "bound": (1 - delta) ** t})
+    return out
+
+
+def dimension_scaling(cfg: Optional[ConvergenceConfig] = None) -> List[Dict]:
+    """ESS-rate and R-hat vs dimension (reference :295-339)."""
+    cfg = cfg or ConvergenceConfig()
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    key = jax.random.key(cfg.seed)
+    out = []
+    for n in cfg.dimensions:
+        lat = _make_lattice("skew", n, cfg.seed, dtype)
+        eta = float(smoothing_parameter(lat))
+        pre = klein_precompute(lat, 1.5 * eta)
+        T = max(cfg.n_samples // cfg.n_chains, 100)
+        coeffs, _, states = imhk_chains(key, pre, n_chains=cfg.n_chains,
+                                        n_samples=T, burn_in=cfg.burn_in)
+        x0 = jnp.asarray(np.asarray(coeffs)[:, :, 0].astype(np.float64))
+        out.append({
+            "dimension": n,
+            "acceptance": float(np.sum(np.asarray(states.accepted))) /
+                          max(float(np.sum(np.asarray(states.steps))), 1),
+            "ess_per_sample": float(effective_sample_size(x0[0])) / T,
+            "rhat": float(gelman_rubin(x0)),
+        })
+    return out
+
+
+def run_study(cfg: Optional[ConvergenceConfig] = None) -> Dict:
+    cfg = cfg or ConvergenceConfig()
+    out_dir = cfg.ensure_output()
+    results = {
+        "algorithm_comparison": compare_algorithms(cfg),
+        "spectral_analysis": spectral_analysis(cfg),
+        "tvd_decay": tvd_decay(cfg),
+        "dimension_scaling": dimension_scaling(cfg),
+    }
+    with open(os.path.join(out_dir, "convergence_study.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return results

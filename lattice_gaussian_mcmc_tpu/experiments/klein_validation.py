@@ -1,0 +1,184 @@
+"""Klein validation suite — the four statistical experiments of the
+reference's `experiments/klein_validation_suite.py` (C27):
+
+  Exp1: 1D empirical vs exact pmf (TVD/KL)               (:52-147)
+  Exp2: 2D Klein vs fully enumerated target              (:148-321)
+  Exp3: IMHK acceptance-rate stability per block         (:322-410)
+  Exp4: mixing time, tau_int, ESS vs theoretical t_mix   (:411-556)
+
+Each experiment returns a plain dict; `run_suite` writes JSON + a text
+report (reference :557-644).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lattice_gaussian_mcmc_tpu.diagnostics import (
+    effective_sample_size,
+    integrated_autocorr_time,
+    kl_divergence_discrete,
+    mixing_time_from_tvd,
+    tvd_vs_exact,
+)
+from lattice_gaussian_mcmc_tpu.diagnostics.spectral import (
+    mixing_time_bounds,
+    spectral_gap_mc,
+)
+from lattice_gaussian_mcmc_tpu.lattices import (
+    identity_lattice,
+    lattice_from_basis,
+)
+from lattice_gaussian_mcmc_tpu.ops.discrete_gaussian import exact_pmf
+from lattice_gaussian_mcmc_tpu.lattices.identity import sample_zn
+from lattice_gaussian_mcmc_tpu.samplers import (
+    klein_precompute,
+    klein_sample_batch,
+)
+from lattice_gaussian_mcmc_tpu.samplers.imhk import imhk_chain, imhk_chains
+
+TVD_GATE = 0.02
+KL_GATE = 0.05
+
+
+def experiment_1_1d(key, sigma: float = 5.0, n_samples: int = 100_000) -> Dict:
+    """1D D_{Z,sigma} empirical vs exact pmf."""
+    t0 = time.perf_counter()
+    z = sample_zn(key, n=1, sigma=sigma, shape=(n_samples,))[:, 0]
+    z.block_until_ready()
+    dt = time.perf_counter() - t0
+    support, probs = exact_pmf(sigma)
+    tvd = tvd_vs_exact(np.asarray(z), support, probs)
+    kl = kl_divergence_discrete(np.asarray(z), support, probs)
+    return {"experiment": "1d_validation", "sigma": sigma,
+            "n_samples": n_samples, "tvd": tvd, "kl": kl,
+            "samples_per_sec": n_samples / dt,
+            "passed": bool(tvd < TVD_GATE and kl < KL_GATE)}
+
+
+def experiment_2_2d(key, sigma: float = 2.0, n_samples: int = 50_000,
+                    basis: Optional[np.ndarray] = None, radius: int = 15) -> Dict:
+    """2D Klein vs enumerated target on a (possibly skewed) basis."""
+    if basis is None:
+        basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    lat = lattice_from_basis(basis)
+    pre = klein_precompute(lat, sigma)
+    t0 = time.perf_counter()
+    coeffs, _ = klein_sample_batch(key, pre, n_samples)
+    coeffs.block_until_ready()
+    dt = time.perf_counter() - t0
+    coords = np.array(list(itertools.product(range(-radius, radius + 1),
+                                             repeat=2)), dtype=np.float64)
+    pts = coords @ basis.T
+    lp = -0.5 * np.sum(pts**2, axis=1) / sigma**2
+    p = np.exp(lp - lp.max())
+    p /= p.sum()
+    target = {tuple(map(int, c)): q for c, q in zip(coords, p)}
+    u, n_ = np.unique(np.asarray(coeffs).astype(np.int64), axis=0,
+                      return_counts=True)
+    emp = {tuple(map(int, x)): k / n_.sum() for x, k in zip(u, n_)}
+    keys = set(emp) | set(target)
+    tvd = 0.5 * sum(abs(emp.get(k, 0) - target.get(k, 0)) for k in keys)
+    mask = np.array([emp.get(tuple(map(int, c)), 0.0) for c in coords])
+    nz = mask > 0
+    kl = float(np.sum(mask[nz] * np.log(mask[nz] / p[nz])))
+    return {"experiment": "2d_validation", "sigma": sigma,
+            "n_samples": n_samples, "tvd": float(tvd), "kl": kl,
+            "samples_per_sec": n_samples / dt,
+            "passed": bool(tvd < 2 * TVD_GATE)}
+
+
+def experiment_3_acceptance(key, sigma: float = 0.35, n_blocks: int = 10,
+                            block_size: int = 1000) -> Dict:
+    """IMHK acceptance stability across consecutive 1k-step blocks."""
+    basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    lat = lattice_from_basis(basis)
+    pre = klein_precompute(lat, sigma)
+    coeffs, log_ws, state = imhk_chain(key, pre,
+                                       n_samples=n_blocks * block_size)
+    # per-block acceptance from the number of distinct consecutive states
+    moves = np.any(np.diff(np.asarray(coeffs), axis=0) != 0, axis=1)
+    rates = [float(np.mean(moves[i * block_size:(i + 1) * block_size]))
+             for i in range(n_blocks)]
+    _, lw = klein_sample_batch(jax.random.fold_in(key, 1), pre, 2000)
+    delta = float(spectral_gap_mc(lw))
+    overall = float(state.accepted) / float(state.steps)
+    return {"experiment": "acceptance_stability", "sigma": sigma,
+            "block_rates": rates, "overall_acceptance": overall,
+            "rate_std": float(np.std(rates)), "delta_estimate": delta,
+            "passed": bool(np.std(rates) < 0.05)}
+
+
+def experiment_4_mixing(key, sigma: float = 0.35, n_samples: int = 20_000,
+                        n_chains: int = 8) -> Dict:
+    """Mixing time / tau_int / ESS vs theoretical bound."""
+    basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    lat = lattice_from_basis(basis)
+    pre = klein_precompute(lat, sigma)
+    coeffs, log_ws, states = imhk_chains(key, pre, n_chains=n_chains,
+                                         n_samples=n_samples)
+    x0 = jnp.asarray(np.asarray(coeffs)[:, :, 0], jnp.float32)
+    tau = float(integrated_autocorr_time(x0[0]))
+    ess = float(effective_sample_size(x0[0]))
+    _, lw = klein_sample_batch(jax.random.fold_in(key, 1), pre, 4000)
+    delta = float(spectral_gap_mc(lw))
+    bounds = mixing_time_bounds(delta)
+    # empirical mixing: TVD of growing prefixes vs the final distribution
+    xs = np.asarray(x0[0]).astype(np.int64)
+    support = np.arange(xs.min(), xs.max() + 1)
+    final = np.bincount(xs - xs.min(), minlength=len(support)) / len(xs)
+    tvds = []
+    checkpoints = [10, 30, 100, 300, 1000, 3000, 10000]
+    for t in checkpoints:
+        if t > len(xs):
+            break
+        h = np.bincount(xs[:t] - xs.min(), minlength=len(support)) / t
+        tvds.append(0.5 * np.abs(h - final).sum())
+    t_mix_emp = (checkpoints[mixing_time_from_tvd(np.array(tvds), 0.1)]
+                 if tvds and min(tvds) < 0.1 else None)
+    return {"experiment": "mixing_analysis", "sigma": sigma,
+            "tau_int": tau, "ess": ess, "ess_per_sample": ess / n_samples,
+            "delta": delta, "t_mix_upper_theory": bounds["upper"],
+            "t_mix_empirical": t_mix_emp,
+            "acceptance": float(np.sum(np.asarray(states.accepted))) /
+                          float(np.sum(np.asarray(states.steps))),
+            "passed": bool(ess / n_samples > 0.5)}
+
+
+def run_suite(key=None, output_dir: str = "results/klein_validation",
+              quick: bool = False) -> Dict:
+    """Run all four experiments, write JSON + text report."""
+    if key is None:
+        key = jax.random.key(42)
+    scale = 10 if quick else 1
+    results = {
+        "exp1": experiment_1_1d(jax.random.fold_in(key, 1),
+                                n_samples=100_000 // scale),
+        "exp2": experiment_2_2d(jax.random.fold_in(key, 2),
+                                n_samples=50_000 // scale),
+        "exp3": experiment_3_acceptance(jax.random.fold_in(key, 3),
+                                        block_size=1000 // scale),
+        "exp4": experiment_4_mixing(jax.random.fold_in(key, 4),
+                                    n_samples=20_000 // scale),
+    }
+    results["all_passed"] = all(r["passed"] for r in results.values()
+                                if isinstance(r, dict))
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "validation_results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    lines = ["Klein validation suite", "=" * 40]
+    for name, r in results.items():
+        if isinstance(r, dict):
+            lines.append(f"{name}: {'PASS' if r['passed'] else 'FAIL'} "
+                         f"({r['experiment']})")
+    with open(os.path.join(output_dir, "report.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return results

@@ -95,17 +95,34 @@ def sample_dgauss_with_logz(key, center, sigma, window: int = DEFAULT_WINDOW):
 def sample_dgauss_inverse_cdf(key, center, sigma, window: int = DEFAULT_WINDOW):
     """Inverse-CDF draw on the window (single uniform per draw; alternative to
     Gumbel-max with identical distribution, slightly cheaper RNG)."""
-    support, logits = dgauss_logits(center, sigma, window)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    w = jnp.exp(logits - m)
+    z, _ = sample_dgauss_icdf_with_logz(key, center, sigma, window)
+    return z
+
+
+def sample_dgauss_icdf_with_logz(key, center, sigma,
+                                 window: int = DEFAULT_WINDOW):
+    """Inverse-CDF draw + log-normalizer. One uniform per draw (vs W gumbels
+    for the Gumbel-max path) — this is the RNG-lean variant the blocked
+    throughput path uses; the law is identical.
+
+    Implementation note: instead of take_along_axis on the support we
+    reconstruct z = round(center) - W/2 + idx arithmetically, which lowers to
+    pure vector ops on TPU."""
+    center = jnp.asarray(center)
+    sigma = jnp.asarray(sigma)
+    _, logits = dgauss_logits(center, sigma, window)
+    m = jnp.max(logits, axis=-1)
+    w = jnp.exp(logits - m[..., None])
     cdf = jnp.cumsum(w, axis=-1)
-    total = cdf[..., -1:]
-    u = jax.random.uniform(key, center.shape if hasattr(center, "shape") else (),
+    total = cdf[..., -1]
+    u = jax.random.uniform(key, jnp.broadcast_shapes(center.shape, sigma.shape),
                            dtype=logits.dtype)
-    target = u[..., None] * total
-    idx = jnp.sum(cdf < target, axis=-1)
+    target = (u * total)[..., None]
+    idx = jnp.sum((cdf < target).astype(jnp.int32), axis=-1)
     idx = jnp.clip(idx, 0, window - 1)
-    return jnp.take_along_axis(support, idx[..., None], axis=-1)[..., 0]
+    z = jnp.round(center) - window // 2 + idx.astype(center.dtype)
+    log_Z = m + jnp.log(total)
+    return z, log_Z
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,4 @@
+from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (  # noqa: F401
+    klein_sample_batch_pallas,
+    pallas_supported,
+)

@@ -1,0 +1,262 @@
+"""Pallas TPU kernel for Klein's backward-substitution sampler.
+
+This is the speed-of-light path for the hot loop (BASELINE north star:
+"Pallas kernels for the GSO backward-substitution inner loop and 1D
+discrete-Gaussian base samplers"). Design:
+
+- Chains live on the **lane axis**: each grid program owns a TILE of chains
+  and keeps its entire coefficient state X (n, TILE) plus the full scaled-R
+  matrix U (n, n) in VMEM — zero HBM traffic inside the row loop.
+- Rows are processed in 128-row blocks; the cross-block conditional-mean
+  contribution is ONE MXU matmul U[lo:hi, hi:] @ X[hi:, :] per block.
+- Within a block, rows advance in **8-row groups** under a `fori_loop`:
+  group loads are 8-aligned dynamic sublane slices (the only dynamic VMEM
+  access Mosaic allows), and the 8 rows inside a group are statically
+  unrolled. Group-internal coupling U[i, j] (j in i's own 8-group) comes
+  from a precomputed (n, 8) diagonal-block table, so no unaligned or
+  dynamic-lane access ever happens. This keeps the compiled body small —
+  fully unrolling all n rows blew the 1 MB scoped-SMEM budget.
+- 1D draws: on-core PRNG (`pltpu.prng_random_bits`, mantissa-trick uniform),
+  inverse-CDF over a static window whose cumulative sum is an MXU matmul
+  with a lower-triangular ones matrix.
+- Per-coordinate log-normalizers accumulate into the IMHK importance weight
+  on the fly (identical semantics to the XLA paths). Padded rows contribute
+  exactly 0 (their conditional is a point mass at 0 with log Z = 0).
+
+Correctness is validated against the XLA samplers in interpret mode with
+host-fed uniforms, and statistically on hardware; the law is identical,
+though bitwise RNG streams differ (hardware PRNG vs threefry).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lattice_gaussian_mcmc_tpu.samplers.klein import KleinPrecomp
+
+try:  # pallas import can fail on unsupported backends
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+BLOCK = 128  # rows per cross-block matmul (lane alignment requires 128)
+GROUP = 8    # rows per aligned sublane group (f32 sublane tile height)
+
+
+def pallas_supported() -> bool:
+    if not _PALLAS_OK:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref,
+            x_ref, lw_ref, t_ref, z_ref, *, n, window, host_rng, tile):
+    """One program: sample `tile` chains end-to-end.
+
+    Refs:
+      seed_ref: (1, 1) int32 SMEM
+      u_ref:    (n, n) f32 VMEM — scaled upper-triangular U (unit diagonal)
+      ud_ref:   (n, GROUP) f32 VMEM — diagonal-block table:
+                ud[i, d] = U[i, (i//8)*8 + d]
+      cs_ref:   (n, tile) f32 VMEM — scaled center, pre-broadcast over lanes
+      isg_ref:  (n, tile) f32 VMEM — inverse conditional sigmas, same
+      unif_ref: (*, tile) f32 VMEM — host uniforms (host_rng only)
+      x_ref:    (n, tile) f32 out — integer-valued coefficients
+      lw_ref:   (1, tile) f32 out — summed log Z (IMHK log weight)
+      t_ref:    (BLOCK, tile) f32 scratch — cross-block tail sums
+      z_ref:    (GROUP, tile) f32 scratch — current group's draws
+    """
+    prog = pl.program_id(0)
+    if not host_rng:
+        pltpu.prng_seed(seed_ref[0, 0] + prog * 7919)
+
+    # lower-triangular ones (window x window) for cumsum-as-matmul
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
+    tril = (col_w <= row_w).astype(jnp.float32)
+    offs = (jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
+            .astype(jnp.float32) - window // 2)
+
+    x_ref[:] = jnp.zeros((n, tile), jnp.float32)
+    lw = jnp.zeros((1, tile), jnp.float32)
+
+    def sample_row(c, isg_row, row_index):
+        """Draw `tile` variates around centers c (1, tile); isg_row (1, tile).
+        Returns (z, logZ) each (1, tile)."""
+        base = jnp.round(c)
+        support = base + offs                     # (window, tile)
+        zsc = (support - c) * isg_row             # sublane broadcasts only
+        logits = -0.5 * zsc * zsc
+        m = jnp.max(logits, axis=0, keepdims=True)
+        w = jnp.exp(logits - m)
+        cdf = jnp.dot(tril, w, preferred_element_type=jnp.float32)
+        total = cdf[window - 1:window, :]
+        if host_rng:
+            u01 = unif_ref[pl.ds(row_index, 1), :]
+        else:
+            # mantissa trick (no uint32->f32 cast in Mosaic): 23 random
+            # mantissa bits | exponent(1.0) -> [1, 2); minus 1 -> [0, 1)
+            bits = pltpu.bitcast(pltpu.prng_random_bits((1, tile)), jnp.int32)
+            mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
+            fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
+            u01 = pltpu.bitcast(fbits, jnp.float32) - 1.0
+        target = u01 * total
+        idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
+                      keepdims=True)
+        idx = jnp.clip(idx, 0.0, float(window - 1))
+        z = base + idx - window // 2
+        logZ = m + jnp.log(total)
+        return z, logZ
+
+    nb = n // BLOCK
+    for bi in range(nb - 1, -1, -1):
+        lo, hi = bi * BLOCK, (bi + 1) * BLOCK
+        # cross-block tail contribution (MXU): (BLOCK, n-hi) @ (n-hi, tile)
+        if hi < n:
+            t_ref[:] = jnp.dot(u_ref[lo:hi, hi:], x_ref[hi:, :],
+                               preferred_element_type=jnp.float32)
+        else:
+            t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
+
+        def group_body(g, lw, *, lo=lo, hi=hi):
+            r8 = BLOCK - GROUP - g * GROUP        # top group first
+            i8 = pl.multiple_of(lo + r8, GROUP)
+            u8 = u_ref[pl.ds(i8, GROUP), lo:hi]   # (8, BLOCK)
+            ud8 = ud_ref[pl.ds(i8, GROUP), :]     # (8, 8)
+            t8 = t_ref[pl.ds(r8, GROUP), :]       # (8, tile)
+            cs8 = cs_ref[pl.ds(i8, GROUP), :]     # (8, tile)
+            isg8 = isg_ref[pl.ds(i8, GROUP), :]   # (8, tile)
+
+            for d in range(GROUP - 1, -1, -1):
+                # tail within block from rows already written to x
+                s_in = jnp.dot(u8[d:d + 1, :], x_ref[lo:hi, :],
+                               preferred_element_type=jnp.float32)
+                # coupling to rows of this group (still only in z_ref)
+                c = cs8[d:d + 1, :] - t8[d:d + 1, :] - s_in
+                for dp in range(d + 1, GROUP):
+                    c = c - ud8[d:d + 1, dp:dp + 1] * z_ref[dp:dp + 1, :]
+                z, logZ = sample_row(c, isg8[d:d + 1, :], i8 + d)
+                z_ref[d:d + 1, :] = z
+                lw = lw + logZ
+            x_ref[pl.ds(i8, GROUP), :] = z_ref[:]
+            return lw
+
+        lw = jax.lax.fori_loop(0, BLOCK // GROUP,
+                               lambda g, a: group_body(g, a), lw)
+
+    lw_ref[:] = lw
+
+
+def _diag_block_table(U: jnp.ndarray) -> jnp.ndarray:
+    """ud[i, d] = U[i, (i // 8) * 8 + d] — the 8x8 diagonal sub-blocks."""
+    n = U.shape[0]
+    rows = jnp.arange(n)
+    cols = (rows // GROUP)[:, None] * GROUP + jnp.arange(GROUP)[None, :]
+    return U[rows[:, None], cols]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_samples", "interpret", "host_rng",
+                                    "tile"))
+def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
+                              num_samples: int,
+                              interpret: bool = False,
+                              host_rng: bool = False,
+                              tile: int = 256):
+    """Batched Klein draw via the Pallas kernel.
+
+    Returns (coeffs (B, n), log_w (B,)). B must be a multiple of `tile`
+    (chains per grid program; wider tiles amortize per-row latency, bounded
+    by VMEM: U (n^2) + 4 arrays of (n, tile) floats).
+    """
+    from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import _pad_precomp
+    assert num_samples % tile == 0, f"batch must be a multiple of {tile}"
+    ppre, n_real = _pad_precomp(pre, BLOCK)
+    n = ppre.U.shape[0]
+    B = num_samples
+    window = pre.window
+
+    k_seed, k_unif = jax.random.split(key)
+    seed = jax.random.randint(k_seed, (1, 1), 0, np.iinfo(np.int32).max,
+                              dtype=jnp.int32)
+    U = ppre.U.astype(jnp.float32)
+    ud = _diag_block_table(U)
+    cs = jnp.asarray(jnp.broadcast_to(
+        ppre.cs.astype(jnp.float32)[:, None], (n, tile)))
+    isg = jnp.asarray(jnp.broadcast_to(
+        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, tile)))
+    if host_rng:
+        unif = jax.random.uniform(k_unif, (n, B), dtype=jnp.float32)
+    else:  # tiny placeholder (never read)
+        unif = jnp.zeros((8, B), dtype=jnp.float32)
+
+    kernel = functools.partial(_kernel, n=n, window=window,
+                               host_rng=host_rng, tile=tile)
+    x, lw = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, GROUP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((unif.shape[0], tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, tile), jnp.float32),
+            pltpu.VMEM((GROUP, tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, U, ud, cs, isg, unif)
+    return x[:n_real, :].T, lw[0]
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "tile"))
+def imhk_steps_batch_pallas(key: jax.Array, pre: KleinPrecomp, coeffs,
+                            log_ws, n_steps: int, tile: int = 256):
+    """IMHK steps driven by the Pallas Klein proposal (same MH shell as
+    klein_blocked.imhk_steps_batch_blocked)."""
+    B = coeffs.shape[0]
+
+    def step(carry, t):
+        X, lw, acc = carry
+        k_t = jax.random.fold_in(key, t)
+        k_prop, k_u = jax.random.split(k_t)
+        Y, lw_y = klein_sample_batch_pallas(k_prop, pre, B, tile=tile)
+        Y = Y.astype(X.dtype)
+        lw_y = lw_y.astype(lw.dtype)
+        u = jax.random.uniform(k_u, (B,), dtype=lw.dtype,
+                               minval=jnp.finfo(lw.dtype).tiny)
+        accept = jnp.log(u) < (lw_y - lw)
+        X = jnp.where(accept[:, None], Y, X)
+        lw = jnp.where(accept, lw_y, lw)
+        return (X, lw, acc + accept.astype(jnp.int32)), None
+
+    (X, lw, acc), _ = jax.lax.scan(
+        step, (coeffs, log_ws, jnp.zeros((B,), jnp.int32)),
+        jnp.arange(n_steps))
+    return X, lw, acc

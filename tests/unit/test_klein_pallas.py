@@ -1,0 +1,63 @@
+"""Pallas Klein kernel vs the XLA samplers (CPU interpret mode with
+host-provided uniforms; the hardware-PRNG path is exercised on real TPU by
+bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from lattice_gaussian_mcmc_tpu.lattices import (
+    identity_lattice,
+    lattice_from_basis,
+)
+from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+    klein_sample_batch_pallas,
+)
+from lattice_gaussian_mcmc_tpu.samplers import (
+    klein_precompute,
+    klein_sample_batch,
+)
+
+from tests.unit.test_klein import enumerate_target, empirical_dist, tvd_dicts
+
+
+def _pallas_cpu(key, pre, B, **kw):
+    kw.setdefault("tile", 128)
+    with pltpu.force_tpu_interpret_mode():
+        return klein_sample_batch_pallas(key, pre, B, host_rng=True, **kw)
+
+
+def test_pallas_matches_target_2d(key):
+    basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    sigma = 2.0
+    lat = lattice_from_basis(basis, dtype=jnp.float32)
+    pre = klein_precompute(lat, sigma)
+    X, lw = _pallas_cpu(key, pre, 128 * 300)
+    target = enumerate_target(basis, sigma, np.zeros(2), radius=15)
+    assert tvd_dicts(empirical_dist(X), target) < 0.025
+
+
+def test_pallas_matches_xla_moments(key, rng):
+    B8 = np.triu(rng.integers(-3, 4, (8, 8))).astype(float) + np.diag([4.0] * 8)
+    lat = lattice_from_basis(B8, dtype=jnp.float32)
+    pre = klein_precompute(lat, 8.0)
+    Xp, lp = _pallas_cpu(key, pre, 128 * 100)
+    Xv, lv = klein_sample_batch(jax.random.fold_in(key, 1), pre, 12800)
+    np.testing.assert_allclose(np.asarray(Xp).mean(0), np.asarray(Xv).mean(0),
+                               atol=0.6)
+    np.testing.assert_allclose(np.asarray(Xp).std(0), np.asarray(Xv).std(0),
+                               rtol=0.06)
+    np.testing.assert_allclose(float(lp.mean()), float(lv.mean()), atol=0.05)
+
+
+def test_pallas_multiblock_rows(key):
+    # n = 384 exercises the multi-block path (3 blocks of 128)
+    lat = identity_lattice(384, dtype=jnp.float32)
+    pre = klein_precompute(lat, 3.0)
+    X, lw = _pallas_cpu(key, pre, 256)
+    assert X.shape == (256, 384)
+    assert abs(float(X.std()) - 3.0) < 0.05
+    assert abs(float(X.mean())) < 0.05

@@ -1,0 +1,74 @@
+"""Unified sampler facade (C16 parity) + new spectral decomposition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lattice_gaussian_mcmc_tpu.diagnostics.spectral import (
+    transition_decomposition,
+    triangular_structure_analysis,
+)
+from lattice_gaussian_mcmc_tpu.lattices import (
+    identity_lattice,
+    lattice_from_basis,
+)
+from lattice_gaussian_mcmc_tpu.samplers.unified import UnifiedLatticeSampler
+
+
+def test_unified_identity_dispatch(key):
+    lat = identity_lattice(8, dtype=jnp.float64)
+    s = UnifiedLatticeSampler(lat, sigma=3.0)
+    assert s.algorithm == "direct"
+    pts = s.sample(key, 2000)
+    assert pts.shape == (2000, 8)
+    assert abs(float(jnp.std(pts)) - 3.0) < 0.1
+
+
+def test_unified_generic_dispatch(key):
+    basis = np.array([[2.0, 1.0], [0.0, 3.0]])
+    lat = lattice_from_basis(basis, dtype=jnp.float64)
+    s = UnifiedLatticeSampler(lat, sigma=5.0)
+    assert s.algorithm == "klein"
+    pts = s.sample(key, 500)
+    assert pts.shape == (500, 2)
+    s_exact = UnifiedLatticeSampler(lat, sigma=5.0, exact=True)
+    assert s_exact.algorithm == "imhk"
+    pts = s_exact.sample(key, 100)
+    assert pts.shape == (100, 2)
+
+
+def test_unified_decode(key, rng):
+    B = rng.integers(-4, 5, size=(4, 4)).astype(np.float64)
+    while abs(np.linalg.det(B)) < 1:
+        B = rng.integers(-4, 5, size=(4, 4)).astype(np.float64)
+    lat = lattice_from_basis(B, dtype=jnp.float64)
+    s = UnifiedLatticeSampler(lat, sigma=2.0)
+    x_star = rng.integers(-2, 3, size=4).astype(np.float64)
+    t = jnp.asarray(B @ x_star + rng.normal(scale=0.05, size=4))
+    pt, coeffs = s.decode(key, t, stochastic=True, n_sweeps=30, n_chains=16)
+    np.testing.assert_allclose(np.asarray(coeffs), x_star)
+    pt2, coeffs2 = s.decode(key, t, stochastic=False)
+    assert pt2.shape == (4,)
+
+
+def test_unified_short_vector(key):
+    basis = np.array([[3.0, 1.0], [1.0, 3.0]])
+    lat = lattice_from_basis(basis, dtype=jnp.float64)
+    s = UnifiedLatticeSampler(lat, sigma=4.0)
+    v = np.asarray(s.short_vector(key, 2000))
+    assert np.linalg.norm(v) > 0
+    assert np.linalg.norm(v) < 8.0  # should find something short
+
+
+def test_transition_decomposition():
+    lw = jnp.asarray([0.0, 0.1, -0.1, 0.05])
+    d = transition_decomposition(lw)
+    assert 0.8 < d["jump_mass"] <= 1.0
+    assert abs(d["jump_mass"] + d["rejection_mass"] - 1.0) < 1e-9
+
+
+def test_triangular_structure():
+    P = np.array([[0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.0, 0.0, 1.0]])
+    t = triangular_structure_analysis(P)
+    assert t["upper_mass"] > t["lower_mass"]
+    assert t["asymmetry"] > 0
