@@ -28,11 +28,19 @@ def main():
         imhk_steps_batch_blocked,
         klein_sample_batch_blocked,
     )
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        imhk_steps_batch_pallas,
+        klein_sample_batch_pallas,
+        pallas_supported,
+    )
 
     n_ring = int(os.environ.get("BENCH_N", "512"))
-    n_chains = int(os.environ.get("BENCH_CHAINS", "4096"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "64"))
-    block = int(os.environ.get("BENCH_BLOCK", "128"))
+    n_chains = int(os.environ.get("BENCH_CHAINS", "16384"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "16"))
+    block = int(os.environ.get("BENCH_BLOCK", "32"))
+    tile = int(os.environ.get("BENCH_TILE", "512"))
+    impl = os.environ.get("BENCH_IMPL",
+                          "pallas" if pallas_supported() else "blocked")
 
     lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
                        dtype=jnp.float32)
@@ -41,12 +49,21 @@ def main():
     pre = klein_precompute(lat, sigma)
 
     key = jax.random.key(0)
-    coeffs, log_ws = klein_sample_batch_blocked(key, pre, n_chains, block)
+    if impl == "pallas":
+        coeffs, log_ws = klein_sample_batch_pallas(key, pre, n_chains,
+                                                   tile=tile)
+
+        def run(k, c, lw):
+            return imhk_steps_batch_pallas(k, pre, c, lw, n_steps, tile=tile)
+    else:
+        coeffs, log_ws = klein_sample_batch_blocked(key, pre, n_chains, block)
+
+        def run(k, c, lw):
+            return imhk_steps_batch_blocked(k, pre, c, lw, n_steps, block)
 
     # warmup / compile
     t0 = time.perf_counter()
-    out = imhk_steps_batch_blocked(jax.random.fold_in(key, 1), pre, coeffs,
-                                   log_ws, n_steps, block)
+    out = run(jax.random.fold_in(key, 1), coeffs, log_ws)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
     coeffs, log_ws, _ = out
@@ -56,9 +73,8 @@ def main():
     n_rep = 3
     acc_total = 0.0
     for r in range(n_rep):
-        coeffs, log_ws, acc = imhk_steps_batch_blocked(
-            jax.random.fold_in(key, 2 + r), pre, coeffs, log_ws, n_steps,
-            block)
+        coeffs, log_ws, acc = run(jax.random.fold_in(key, 2 + r), coeffs,
+                                  log_ws)
         acc_total += float(jnp.sum(acc))
     jax.block_until_ready(coeffs)
     dt = time.perf_counter() - t0
@@ -76,6 +92,7 @@ def main():
         "n_chains": n_chains,
         "dim": 2 * n_ring,
         "sigma": sigma,
+        "impl": impl,
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]).replace(" ", "_"),
     }

@@ -58,8 +58,8 @@ def pallas_supported() -> bool:
         return False
 
 
-def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref,
-            x_ref, lw_ref, t_ref, z_ref, *, n, window, host_rng, tile):
+def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
+            n, window, host_rng, tile, fused_mh):
     """One program: sample `tile` chains end-to-end.
 
     Refs:
@@ -74,7 +74,18 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref,
       lw_ref:   (1, tile) f32 out — summed log Z (IMHK log weight)
       t_ref:    (BLOCK, tile) f32 scratch — cross-block tail sums
       z_ref:    (GROUP, tile) f32 scratch — current group's draws
+
+    With fused_mh, three extra inputs (xold, lwold, accold) precede the
+    outputs and an acc output follows: the kernel performs the IMHK
+    Metropolis accept in place, so one dispatch = one full MCMC step (two
+    alternating executables cost ~100 ms/step in program switching on the
+    remote-execution tunnel).
     """
+    if fused_mh:
+        (xold_ref, lwold_ref, accold_ref,
+         x_ref, lw_ref, acc_ref, t_ref, z_ref) = rest
+    else:
+        x_ref, lw_ref, t_ref, z_ref = rest
     prog = pl.program_id(0)
     if not host_rng:
         pltpu.prng_seed(seed_ref[0, 0] + prog * 7919)
@@ -128,7 +139,7 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref,
             t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
 
         def group_body(g, lw, *, lo=lo, hi=hi):
-            r8 = BLOCK - GROUP - g * GROUP        # top group first
+            r8 = pl.multiple_of(BLOCK - GROUP - g * GROUP, GROUP)  # top first
             i8 = pl.multiple_of(lo + r8, GROUP)
             u8 = u_ref[pl.ds(i8, GROUP), lo:hi]   # (8, BLOCK)
             ud8 = ud_ref[pl.ds(i8, GROUP), :]     # (8, 8)
@@ -153,7 +164,19 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref,
         lw = jax.lax.fori_loop(0, BLOCK // GROUP,
                                lambda g, a: group_body(g, a), lw)
 
-    lw_ref[:] = lw
+    if fused_mh:
+        # Metropolis accept: u ~ U(0,1); accept iff log u < lw_new - lw_old
+        bits = pltpu.bitcast(pltpu.prng_random_bits((1, tile)), jnp.int32)
+        mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
+        fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
+        u01 = pltpu.bitcast(fbits, jnp.float32) - 1.0
+        u01 = jnp.maximum(u01, 1e-30)
+        accept = jnp.log(u01) < (lw - lwold_ref[:])        # (1, tile)
+        x_ref[:] = jnp.where(accept, x_ref[:], xold_ref[:])
+        lw_ref[:] = jnp.where(accept, lw, lwold_ref[:])
+        acc_ref[:] = accold_ref[:] + accept.astype(jnp.float32)
+    else:
+        lw_ref[:] = lw
 
 
 def _diag_block_table(U: jnp.ndarray) -> jnp.ndarray:
@@ -200,7 +223,7 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
         unif = jnp.zeros((8, B), dtype=jnp.float32)
 
     kernel = functools.partial(_kernel, n=n, window=window,
-                               host_rng=host_rng, tile=tile)
+                               host_rng=host_rng, tile=tile, fused_mh=False)
     x, lw = pl.pallas_call(
         kernel,
         grid=(B // tile,),
@@ -235,28 +258,101 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
     return x[:n_real, :].T, lw[0]
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "tile"))
-def imhk_steps_batch_pallas(key: jax.Array, pre: KleinPrecomp, coeffs,
-                            log_ws, n_steps: int, tile: int = 256):
-    """IMHK steps driven by the Pallas Klein proposal (same MH shell as
-    klein_blocked.imhk_steps_batch_blocked)."""
+@functools.partial(jax.jit, static_argnames=("tile",))
+def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
+                           acc, tile: int = 512):
+    """ONE fused IMHK step: Klein proposal + in-kernel Metropolis accept.
+    coeffs (B, n), log_ws (B,), acc (B,) f32 acceptance counters.
+    Returns updated (coeffs, log_ws, acc). Single executable per step."""
+    from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import _pad_precomp
     B = coeffs.shape[0]
+    assert B % tile == 0
+    ppre, n_real = _pad_precomp(pre, BLOCK)
+    n = ppre.U.shape[0]
+    window = pre.window
 
-    def step(carry, t):
-        X, lw, acc = carry
-        k_t = jax.random.fold_in(key, t)
-        k_prop, k_u = jax.random.split(k_t)
-        Y, lw_y = klein_sample_batch_pallas(k_prop, pre, B, tile=tile)
-        Y = Y.astype(X.dtype)
-        lw_y = lw_y.astype(lw.dtype)
-        u = jax.random.uniform(k_u, (B,), dtype=lw.dtype,
-                               minval=jnp.finfo(lw.dtype).tiny)
-        accept = jnp.log(u) < (lw_y - lw)
-        X = jnp.where(accept[:, None], Y, X)
-        lw = jnp.where(accept, lw_y, lw)
-        return (X, lw, acc + accept.astype(jnp.int32)), None
+    seed = jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max,
+                              dtype=jnp.int32)
+    U = ppre.U.astype(jnp.float32)
+    ud = _diag_block_table(U)
+    cs = jnp.asarray(jnp.broadcast_to(
+        ppre.cs.astype(jnp.float32)[:, None], (n, tile)))
+    isg = jnp.asarray(jnp.broadcast_to(
+        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, tile)))
+    unif = jnp.zeros((8, B), dtype=jnp.float32)  # placeholder
 
-    (X, lw, acc), _ = jax.lax.scan(
-        step, (coeffs, log_ws, jnp.zeros((B,), jnp.int32)),
-        jnp.arange(n_steps))
-    return X, lw, acc
+    # pad coeff state rows up to n (padded coords are always 0)
+    xold = jnp.zeros((n, B), jnp.float32).at[:n_real, :].set(
+        coeffs.T.astype(jnp.float32))
+    lwold = log_ws.astype(jnp.float32)[None, :]
+    accold = acc.astype(jnp.float32)[None, :]
+
+    kernel = functools.partial(_kernel, n=n, window=window, host_rng=False,
+                               tile=tile, fused_mh=True)
+    x, lw, acc_out = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, GROUP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, tile), jnp.float32),
+            pltpu.VMEM((GROUP, tile), jnp.float32),
+        ],
+    )(seed, U, ud, cs, isg, unif, xold, lwold, accold)
+    return x[:n_real, :].T, lw[0], acc_out[0]
+
+
+@jax.jit
+def _mh_accept(key, X, lw, Y, lw_y, acc):
+    u = jax.random.uniform(key, lw.shape, dtype=lw.dtype,
+                           minval=jnp.finfo(lw.dtype).tiny)
+    accept = jnp.log(u) < (lw_y - lw)
+    X = jnp.where(accept[:, None], Y, X)
+    lw = jnp.where(accept, lw_y, lw)
+    return X, lw, acc + accept.astype(jnp.int32)
+
+
+def imhk_steps_batch_pallas(key: jax.Array, pre: KleinPrecomp, coeffs,
+                            log_ws, n_steps: int, tile: int = 512):
+    """IMHK steps driven by the fused Pallas step kernel.
+
+    Python loop dispatching ONE executable per step — wrapping the
+    pallas_call in lax.scan stalls the remote Mosaic compile, and
+    alternating two executables costs ~100 ms/step in program switching on
+    the remote-execution tunnel. Returns (coeffs, log_ws, acc int32)."""
+    B = coeffs.shape[0]
+    acc = jnp.zeros((B,), jnp.float32)
+    X, lw = coeffs, log_ws
+    for t in range(n_steps):
+        X, lw, acc = imhk_step_pallas_fused(jax.random.fold_in(key, t), pre,
+                                            X, lw, acc, tile=tile)
+    return X, lw, acc.astype(jnp.int32)

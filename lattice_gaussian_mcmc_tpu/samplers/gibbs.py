@@ -85,10 +85,13 @@ def annealed_gibbs_decode(key, lattice: Lattice, target, sigma0,
     Bt = lattice.basis.T @ target
     x_babai = lattice.nearest_plane(target)
 
-    def one_chain(k):
-        # diversify starts: Babai + random perturbation in a few coords
+    def one_chain(k, chain_idx):
+        # diversify starts: Babai + random perturbation — except chain 0,
+        # which keeps the exact Babai point so the decoder never returns a
+        # worse answer than the deterministic baseline
         kp, ks = jax.random.split(k)
         pert = jax.random.randint(kp, x_babai.shape, -1, 2).astype(x_babai.dtype)
+        pert = jnp.where(chain_idx == 0, jnp.zeros_like(pert), pert)
         x0 = x_babai + pert
         e0 = G @ x0 - Bt
 
@@ -114,7 +117,7 @@ def annealed_gibbs_decode(key, lattice: Lattice, target, sigma0,
         return bx, bd
 
     keys = chain_keys(key, n_chains)
-    best_xs, best_ds = jax.vmap(one_chain)(keys)
+    best_xs, best_ds = jax.vmap(one_chain)(keys, jnp.arange(n_chains))
     i = jnp.argmin(best_ds)
     bx = best_xs[i]
     point = lattice.basis @ bx
