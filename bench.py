@@ -83,12 +83,16 @@ def main():
     sps = total_samples / dt
     acc = acc_total / total_samples
 
+    # ESS-rate estimate for an independence MH chain: lag-1 autocorrelation
+    # ~ rejection rate r, so ESS/sample ~ (1-r)/(1+r) = a/(2-a).
+    ess_rate = sps * acc / (2.0 - acc)
     result = {
         "metric": "imhk_samples_per_sec_ntru512",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / 1000.0, 2),
         "acceptance_rate": round(acc, 4),
+        "ess_per_sec_est": round(ess_rate, 1),
         "n_chains": n_chains,
         "dim": 2 * n_ring,
         "sigma": sigma,

@@ -12,4 +12,6 @@ from lattice_gaussian_mcmc_tpu.reduction.analysis import (  # noqa: F401
     compare_bases,
     reduction_cost_model,
     recommend_strategy,
+    lll_with_removals,
+    local_gs_swap_improve,
 )

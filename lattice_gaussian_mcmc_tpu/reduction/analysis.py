@@ -137,3 +137,35 @@ def recommend_strategy(lattice_kind: str, n: int,
         return {"strategy": f"LLL(0.99) then BKZ(beta={beta})",
                 "delta": 0.99, "beta": beta}
     return {"strategy": "LLL(0.99)", "delta": 0.99}
+
+
+def lll_with_removals(basis_cols: np.ndarray, keep: int,
+                      delta: float = 0.99) -> np.ndarray:
+    """LLL-reduce, then keep only the `keep` shortest GS-profile prefix
+    vectors (reference reduction.py:188-234 "LLL-with-removals": drop
+    trailing vectors whose GS norm exceeds a bound — used to trim q-ary
+    bases before enumeration). Returns an (n, keep) column matrix."""
+    red = lll_reduce(basis_cols, delta=delta)
+    return np.asarray(red)[:, :keep]
+
+
+def local_gs_swap_improve(basis_cols: np.ndarray,
+                          max_passes: int = 4) -> np.ndarray:
+    """Greedy local improvement: swap adjacent basis vectors whenever doing
+    so reduces max||b*_i|| (reference reduction.py:491-535). Cheap polish
+    after LLL for sampling-oriented quality."""
+    B = np.array(basis_cols, dtype=np.float64)
+    n = B.shape[1]
+    for _ in range(max_passes):
+        improved = False
+        base = _gs_norms(B).max()
+        for i in range(n - 1):
+            Bs = B.copy()
+            Bs[:, [i, i + 1]] = Bs[:, [i + 1, i]]
+            if _gs_norms(Bs).max() < base - 1e-12:
+                B = Bs
+                base = _gs_norms(B).max()
+                improved = True
+        if not improved:
+            break
+    return B

@@ -1,0 +1,109 @@
+"""Sigma / mixing-parameter adaptation for lattice Gaussian MCMC.
+
+BASELINE config 4 names "symmetric Metropolis-Klein + sigma adaptation";
+the reference's analogue is `adaptive_precision_sample`
+(src/samplers/klein.py:273-302) plus the burn-in heuristics
+(imhk.py:68-91). TPU-native design: adaptation runs on *windowed pooled
+statistics* (acceptance rate or spectral-gap estimate psum'd across the
+chain batch/mesh — SURVEY.md section 7 "MH acceptance under vmap"), driving
+a Robbins-Monro update of log sigma between jitted step windows. The chain
+kernel itself stays pure; only the (scalar) sigma changes between windows,
+which re-specializes the precomputation cheaply.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lattice_gaussian_mcmc_tpu.lattices.base import Lattice
+from lattice_gaussian_mcmc_tpu.samplers.klein import klein_precompute
+from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
+    imhk_steps_batch_blocked,
+    klein_sample_batch_blocked,
+)
+
+
+@dataclass
+class AdaptationState:
+    """Host-side adaptation bookkeeping."""
+
+    log_sigma: float
+    step: int = 0
+    history: List[dict] = field(default_factory=list)
+
+    @property
+    def sigma(self) -> float:
+        return math.exp(self.log_sigma)
+
+
+def robbins_monro_update(state: AdaptationState, observed: float,
+                         target: float, gain0: float = 0.5,
+                         decay: float = 0.6) -> AdaptationState:
+    """log sigma_{t+1} = log sigma_t + gamma_t (observed - target) with
+    gamma_t = gain0 / (1 + t)^decay. For acceptance-targeting: acceptance
+    increases with sigma (weights flatten), so the sign is positive when
+    observed < target is to be corrected downward... we adapt
+    log sigma += gamma * (target - observed) * (-1): IMHK acceptance
+    *increases* with sigma, so to raise acceptance we raise sigma."""
+    gamma = gain0 / (1.0 + state.step) ** decay
+    new_log = state.log_sigma + gamma * (target - observed) * 1.0
+    st = AdaptationState(log_sigma=new_log, step=state.step + 1,
+                         history=state.history)
+    return st
+
+
+def adapt_sigma_imhk(key, lattice: Lattice, sigma0: float,
+                     target_acceptance: float = 0.9,
+                     n_windows: int = 12, window_steps: int = 4,
+                     n_chains: int = 1024, block: int = 32,
+                     sigma_floor: Optional[float] = None) -> AdaptationState:
+    """Adapt sigma so pooled IMHK acceptance hits `target_acceptance`.
+
+    Each window: re-specialize the Klein precomputation at the current
+    sigma, run `window_steps` fused IMHK steps over the chain batch, pool
+    acceptance (a jitted sum — with a mesh this is the psum path), update
+    sigma by Robbins-Monro. Returns the adaptation state with history.
+    """
+    if sigma_floor is None:
+        # Klein validity floor: below it the proposal is badly truncated
+        sigma_floor = float(jnp.max(lattice.gs_norms)) / math.sqrt(
+            2.0 * math.log(lattice.n + 1.0))
+    st = AdaptationState(log_sigma=math.log(sigma0))
+    for w in range(n_windows):
+        sigma = max(st.sigma, sigma_floor)
+        pre = klein_precompute(lattice, sigma)
+        k_w = jax.random.fold_in(key, w)
+        X0, lw0 = klein_sample_batch_blocked(k_w, pre, n_chains, block)
+        _, _, acc = imhk_steps_batch_blocked(jax.random.fold_in(k_w, 1), pre,
+                                             X0, lw0, window_steps, block)
+        acc_rate = float(jnp.mean(acc)) / window_steps
+        st.history.append({"window": w, "sigma": sigma,
+                           "acceptance": acc_rate})
+        st = robbins_monro_update(st, acc_rate, target_acceptance)
+        st.log_sigma = max(st.log_sigma, math.log(sigma_floor))
+    st.log_sigma = max(st.log_sigma, math.log(sigma_floor))
+    return st
+
+
+def dual_averaging_update(mu: float, log_sigma: float, h_sum: float,
+                          t: int, target: float, observed: float,
+                          gamma: float = 0.05, t0: float = 10.0,
+                          kappa: float = 0.75) -> Tuple[float, float, float]:
+    """Nesterov dual averaging (the NUTS-style step-size adapter, applied to
+    log sigma): returns (new_log_sigma, new_h_sum, log_sigma_bar_weight)."""
+    h_sum = h_sum + (target - observed)
+    log_sigma_new = mu - math.sqrt(t) / gamma * h_sum / (t + t0)
+    eta = t ** (-kappa)
+    return log_sigma_new, h_sum, eta
+
+
+def estimate_burn_in_from_gap(delta: float, eps: float = 0.01,
+                              cap: int = 100_000) -> int:
+    """Burn-in from the spectral-gap bound t_mix < -ln(eps)/delta
+    (reference imhk.py:68-91)."""
+    return int(min(math.ceil(-math.log(eps) / max(delta, 1e-12)), cap))

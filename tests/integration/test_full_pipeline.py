@@ -1,0 +1,119 @@
+"""End-to-end pipelines (reference tests/integration/test_full_pipeline.py:
+construct -> reduce -> Klein -> IMHK -> diagnostics -> persist -> validate,
+for identity / q-ary / NTRU-like lattices; plus reproducibility)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lattice_gaussian_mcmc_tpu as lg
+from lattice_gaussian_mcmc_tpu.diagnostics import (
+    effective_sample_size,
+    gelman_rubin,
+    tvd_vs_exact,
+)
+from lattice_gaussian_mcmc_tpu.diagnostics.spectral import spectral_gap_mc
+from lattice_gaussian_mcmc_tpu.ops.discrete_gaussian import exact_pmf
+from lattice_gaussian_mcmc_tpu.reduction import lll_reduce
+from lattice_gaussian_mcmc_tpu.samplers import (
+    klein_precompute,
+    klein_sample_batch,
+)
+from lattice_gaussian_mcmc_tpu.samplers.imhk import imhk_chains
+
+pytestmark = pytest.mark.integration
+
+
+def _run_pipeline(lat, sigma, key, tmp_path, name):
+    """The 8-step pipeline; returns the persisted report dict."""
+    pre = klein_precompute(lat, sigma)
+    # Klein batch + weights
+    coeffs, lw = klein_sample_batch(key, pre, 4000)
+    # IMHK chains
+    ic, ilw, states = imhk_chains(jax.random.fold_in(key, 1), pre,
+                                  n_chains=4, n_samples=500, burn_in=50)
+    x0 = jnp.asarray(np.asarray(ic)[:, :, 0].astype(np.float64))
+    report = {
+        "lattice": lat.name,
+        "sigma": float(sigma),
+        "acceptance": float(np.sum(np.asarray(states.accepted)) /
+                            np.sum(np.asarray(states.steps))),
+        "spectral_gap": float(spectral_gap_mc(lw)),
+        "ess_per_sample": float(effective_sample_size(x0[0])) / 500,
+        "rhat": float(gelman_rubin(x0)),
+        "coeff_std": float(np.asarray(coeffs).std()),
+    }
+    path = os.path.join(tmp_path, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(report, f)
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_identity_pipeline(key, tmp_path):
+    lat = lg.identity_lattice(16, dtype=jnp.float64)
+    rep = _run_pipeline(lat, 3.0, key, tmp_path, "identity")
+    assert rep["acceptance"] > 0.999        # Klein == target on Z^n
+    assert rep["spectral_gap"] > 0.99
+    assert abs(rep["coeff_std"] - 3.0) < 0.1
+    assert rep["rhat"] < 1.1
+    # marginal matches exact pmf
+    pre = klein_precompute(lat, 3.0)
+    coeffs, _ = klein_sample_batch(key, pre, 20_000)
+    sup, p = exact_pmf(3.0)
+    assert tvd_vs_exact(np.asarray(coeffs)[:, 0], sup, p) < 0.02
+
+
+def test_qary_pipeline(key, rng, tmp_path):
+    raw = lg.qary_lattice(16, 8, q=97, seed=5, dtype=jnp.float64)
+    red = lll_reduce(np.asarray(raw.basis))
+    lat = lg.lattice_from_basis(red, name="qary16-lll", dtype=jnp.float64)
+    sigma = 1.3 * float(jnp.max(lat.gs_norms))
+    rep = _run_pipeline(lat, sigma, key, tmp_path, "qary")
+    assert 0.5 < rep["acceptance"] <= 1.0
+    assert 0.0 < rep["spectral_gap"] <= 1.0
+    assert rep["ess_per_sample"] > 0.3
+    assert rep["rhat"] < 1.2
+
+
+def test_ntru_pipeline(key, tmp_path):
+    lat = lg.ntru_lattice(16, q=12289, seed=9, cache_dir=str(tmp_path),
+                          dtype=jnp.float64)
+    sigma = 1.2 * float(jnp.max(lat.gs_norms))
+    rep = _run_pipeline(lat, sigma, key, tmp_path, "ntru")
+    assert rep["acceptance"] > 0.8
+    assert rep["rhat"] < 1.2
+    # mean sampled norm ~ sigma * sqrt(dim)
+    pre = klein_precompute(lat, sigma)
+    coeffs, _ = klein_sample_batch(key, pre, 2000)
+    pts = np.asarray(coeffs) @ np.asarray(lat.basis).T
+    norm = np.linalg.norm(pts, axis=1).mean()
+    expected = sigma * np.sqrt(lat.n)
+    assert abs(norm - expected) / expected < 0.05
+
+
+def test_pipeline_reproducible(key, tmp_path):
+    lat = lg.identity_lattice(8, dtype=jnp.float64)
+    a = _run_pipeline(lat, 2.0, key, tmp_path, "repro_a")
+    b = _run_pipeline(lat, 2.0, key, tmp_path, "repro_b")
+    assert a == b  # bitwise-identical persisted reports
+
+
+def test_sigma_adaptation(key):
+    from lattice_gaussian_mcmc_tpu.samplers.adaptation import adapt_sigma_imhk
+    rng = np.random.default_rng(3)
+    n = 8
+    B = np.triu(rng.uniform(-0.5, 0.5, (n, n))) + np.eye(n)
+    np.fill_diagonal(B, 1.0)
+    lat = lg.lattice_from_basis(B, dtype=jnp.float64)
+    # start from a sigma low enough that acceptance < target
+    st = adapt_sigma_imhk(key, lat, sigma0=0.3, target_acceptance=0.98,
+                          n_windows=6, window_steps=4, n_chains=256, block=8)
+    final_acc = st.history[-1]["acceptance"]
+    first_acc = st.history[0]["acceptance"]
+    assert final_acc >= first_acc - 0.02  # moves toward (or stays at) target
+    assert st.sigma > 0
