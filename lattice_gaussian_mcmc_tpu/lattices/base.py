@@ -129,3 +129,19 @@ def volume(lattice: Lattice):
 def is_integer_basis(basis, tol: float = 1e-9) -> bool:
     b = np.asarray(basis)
     return bool(np.all(np.abs(b - np.round(b)) < tol))
+
+
+def coeffs_from_points(lattice: Lattice, points, tol: float = 1e-6):
+    """Recover integer coefficients x with basis @ x = point (batched least
+    squares + rounding; reference src/samplers/base.py:98-118
+    `sample_coefficients`). Returns (coeffs, max_residual)."""
+    pts = jnp.asarray(points, dtype=lattice.basis.dtype)
+    squeeze = pts.ndim == 1
+    if squeeze:
+        pts = pts[None, :]
+    x = jnp.linalg.solve(lattice.basis, pts.T).T
+    xi = jnp.round(x)
+    resid = jnp.max(jnp.abs(pts - xi @ lattice.basis.T))
+    if squeeze:
+        xi = xi[0]
+    return xi, resid

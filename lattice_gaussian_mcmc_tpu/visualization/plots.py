@@ -170,3 +170,42 @@ class PlottingTools:
         ax.set_ylabel("sample quantile")
         self.save(fig, name)
         return fig
+
+
+def lattice_points_2d(basis, radius: int = 5, samples=None,
+                      voronoi: bool = True, output_dir: str = "results/figures",
+                      name: str = "lattice_points"):
+    """2D lattice points + optional Voronoi cells + optional sample overlay
+    (reference plots.py:533-691). Standalone helper (no PlottingTools state).
+    """
+    import itertools
+    B = np.asarray(basis, dtype=np.float64)
+    coords = np.array(list(itertools.product(range(-radius, radius + 1),
+                                             repeat=2)))
+    pts = coords @ B.T
+    fig, ax = plt.subplots(figsize=(5, 5))
+    if voronoi:
+        try:
+            from scipy.spatial import Voronoi, voronoi_plot_2d
+            vor = Voronoi(pts)
+            voronoi_plot_2d(vor, ax=ax, show_points=False,
+                            show_vertices=False, line_width=0.6,
+                            line_colors="gray")
+        except Exception:
+            pass
+    ax.plot(pts[:, 0], pts[:, 1], "k.", ms=4)
+    if samples is not None:
+        s = np.asarray(samples)
+        ax.plot(s[:, 0], s[:, 1], "r.", ms=1.5, alpha=0.3)
+    # basis vectors
+    for v, color in zip(B.T, ("C0", "C1")):
+        ax.annotate("", xy=v, xytext=(0, 0),
+                    arrowprops=dict(arrowstyle="->", color=color, lw=2))
+    lim = radius * max(np.linalg.norm(B, axis=0))
+    ax.set_xlim(-lim * 0.6, lim * 0.6)
+    ax.set_ylim(-lim * 0.6, lim * 0.6)
+    ax.set_aspect("equal")
+    os.makedirs(output_dir, exist_ok=True)
+    fig.savefig(os.path.join(output_dir, f"{name}.png"))
+    plt.close(fig)
+    return fig
