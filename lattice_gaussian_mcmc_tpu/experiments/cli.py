@@ -22,7 +22,7 @@ from typing import Dict, List
 
 
 EXPERIMENTS = ("convergence", "scaling", "crypto", "sensitivity",
-               "validation", "benchmark")
+               "validation", "benchmark", "mesh")
 
 
 def run_experiment(name: str, output_dir: str, quick: bool, cpu: bool) -> Dict:
@@ -75,6 +75,11 @@ def run_experiment(name: str, output_dir: str, quick: bool, cpu: bool) -> Dict:
     elif name == "validation":
         from lattice_gaussian_mcmc_tpu.experiments.klein_validation import run_suite
         out = run_suite(output_dir=os.path.join(output_dir, name), quick=quick)
+    elif name == "mesh":
+        from lattice_gaussian_mcmc_tpu.experiments.configs import ExperimentConfig
+        from lattice_gaussian_mcmc_tpu.experiments.mesh_scaling import run_mesh_scaling
+        out = run_mesh_scaling(ExperimentConfig(
+            output_dir=os.path.join(output_dir, name)))
     elif name == "benchmark":
         from lattice_gaussian_mcmc_tpu.experiments.configs import BenchmarkConfig
         from lattice_gaussian_mcmc_tpu.experiments.benchmark import run_benchmarks

@@ -129,3 +129,38 @@ def global_gelman_rubin(chains, mesh: Mesh):
     f = jax.shard_map(local, mesh=mesh, in_specs=P(CHAIN_AXIS), out_specs=P(),
                       check_vma=False)
     return jax.jit(f)(chains)
+
+
+def sharded_imhk_blocked(key, pre, n_chains: int, n_steps: int, mesh: Mesh,
+                         block: int = 32):
+    """High-throughput path sharded over the mesh: each device runs the
+    MXU-blocked fused IMHK batch on its chain shard; acceptance is psum'd.
+
+    Returns (coeffs (C, n), log_ws (C,), global_acceptance scalar).
+    This is the multi-chip production configuration: zero inter-chip traffic
+    during sampling, one collective for the pooled diagnostic.
+    """
+    from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
+        imhk_steps_batch_blocked,
+        klein_sample_batch_blocked,
+    )
+    assert n_chains % mesh.size == 0
+    per_dev = n_chains // mesh.size
+    dev_keys = chain_keys(key, mesh.size)
+
+    def local(dev_key):
+        dev_key = dev_key[0]  # shard_map passes a (1,)-shaped block
+        k_init, k_run = jax.random.split(dev_key)
+        X0, lw0 = klein_sample_batch_blocked(k_init, pre, per_dev, block)
+        X, lw, acc = imhk_steps_batch_blocked(k_run, pre, X0, lw0, n_steps,
+                                              block)
+        g_acc = jax.lax.psum(jnp.sum(acc), CHAIN_AXIS)
+        g_tot = jax.lax.psum(jnp.asarray(per_dev * n_steps, jnp.int32),
+                             CHAIN_AXIS)
+        return X, lw, g_acc.astype(jnp.float32) / g_tot.astype(jnp.float32)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=P(CHAIN_AXIS),
+                      out_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P()),
+                      check_vma=False)
+    dev_keys = jax.device_put(dev_keys, NamedSharding(mesh, P(CHAIN_AXIS)))
+    return jax.jit(f)(dev_keys)

@@ -96,3 +96,18 @@ def test_global_acceptance(key):
     tot = jnp.full((8,), 10, dtype=jnp.int32)
     rate = float(global_acceptance(acc, tot, mesh))
     np.testing.assert_allclose(rate, np.arange(8).sum() / 80.0, rtol=1e-6)
+
+
+def test_sharded_imhk_blocked(key):
+    from lattice_gaussian_mcmc_tpu.parallel.collectives import (
+        sharded_imhk_blocked,
+    )
+    basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    lat = lattice_from_basis(basis, dtype=jnp.float64)
+    pre = klein_precompute(lat, 0.5)
+    mesh = make_mesh()
+    X, lw, acc = sharded_imhk_blocked(key, pre, n_chains=64, n_steps=8,
+                                      mesh=mesh, block=2)
+    assert X.shape == (64, 2)
+    assert lw.shape == (64,)
+    assert 0.5 < float(acc) <= 1.0
