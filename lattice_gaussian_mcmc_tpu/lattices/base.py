@@ -75,15 +75,36 @@ class Lattice:
 
 def lattice_from_basis(basis, name: str = "lattice",
                        meta: Optional[Dict[str, Any]] = None,
-                       dtype=None) -> Lattice:
+                       dtype=None, host_gso: Optional[bool] = None) -> Lattice:
     """Build the lattice pytree: push basis to device, GSO via QR.
 
     (Parity: reference SimpleLattice eager GS+dual, src/lattices/simple.py:39-64.)
+
+    `host_gso=True` computes the QR in float64 on the host (numpy) and
+    downcasts the factors to the device dtype. On TPU (f32-only linalg) this
+    matters for ill-conditioned bases: the conditional sigmas
+    sigma_i = sigma / R_ii inherit the full f64 accuracy of R's diagonal
+    instead of f32-QR rounding (SURVEY.md section 7 "f64 and numerical
+    parity"). The extra cost is one host-side QR at build time.
     """
     basis = jnp.asarray(basis, dtype=dtype)
     if basis.ndim != 2 or basis.shape[0] != basis.shape[1]:
         raise ValueError(f"basis must be square, got {basis.shape}")
-    Q, R = _linalg.gso_qr(basis)
+    if host_gso is None:
+        # f32 device QR loses ~1e-3 relative accuracy on reduced crypto
+        # bases (measured); default to the exact host path there
+        host_gso = basis.dtype == jnp.float32
+    if host_gso:
+        Bh = np.asarray(basis, dtype=np.float64)
+        Qh, Rh = np.linalg.qr(Bh)
+        sign = np.sign(np.diag(Rh))
+        sign[sign == 0] = 1.0
+        Qh = Qh * sign[None, :]
+        Rh = Rh * sign[:, None]
+        Q = jnp.asarray(Qh, dtype=basis.dtype)
+        R = jnp.asarray(Rh, dtype=basis.dtype)
+    else:
+        Q, R = _linalg.gso_qr(basis)
     gs = jnp.abs(jnp.diagonal(R))
     return Lattice(basis=basis, Q=Q, R=R, gs_norms=gs, name=name,
                    meta=dict(meta or {}))
