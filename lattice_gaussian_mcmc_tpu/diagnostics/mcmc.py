@@ -113,3 +113,19 @@ def diagnose_chain(chain, max_lag: int = 256):
         "std": jnp.std(chain, axis=0),
         **jumps,
     }
+
+
+@jax.jit
+def mcse_spectral(x):
+    """Spectral-density-at-zero MCSE (reference mcmc_diag.py:213-247
+    'spectral' variant): sigma^2 = S(0) estimated by averaging the
+    periodogram over the lowest nonzero frequencies."""
+    T = x.shape[0]
+    xc = x - jnp.mean(x)
+    f = jnp.fft.rfft(xc)
+    psd = (jnp.abs(f) ** 2) / T
+    k = jnp.maximum(T // 50, 2)
+    mask = (jnp.arange(psd.shape[0]) >= 1) & (jnp.arange(psd.shape[0]) <= k)
+    s0 = jnp.sum(jnp.where(mask, psd, 0.0)) / jnp.maximum(
+        jnp.sum(mask.astype(psd.dtype)), 1.0)
+    return jnp.sqrt(s0 / T)

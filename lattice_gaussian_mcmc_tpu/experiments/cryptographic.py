@@ -60,11 +60,16 @@ def build_lattice_suite(cfg: CryptoConfig, dtype) -> Dict[str, object]:
 
 
 def evaluate_sampler_on(lat, sigma: float, cfg: CryptoConfig, key) -> Dict:
-    """Klein + IMHK metrics on one lattice (reference :194-387)."""
+    """Klein + IMHK metrics on one lattice (reference :194-387).
+
+    Budgets scale inversely with dimension so the full config stays feasible
+    on CPU (per-row scan dispatch dominates there); on TPU the same budgets
+    finish in seconds.
+    """
     pre = klein_precompute(lat, sigma)
     block = min(64, lat.n)
-    B = cfg.n_chains
-    n_steps = max(cfg.n_samples // B, 4)
+    B = min(cfg.n_chains, max(256, (1 << 20) // lat.n))
+    n_steps = int(np.clip(cfg.n_samples // B, 2, max(2, 8192 // lat.n)))
     X0, lw0 = klein_sample_batch_blocked(key, pre, B, block)
     X, lw, acc = imhk_steps_batch_blocked(jax.random.fold_in(key, 1), pre,
                                           X0, lw0, n_steps, block)

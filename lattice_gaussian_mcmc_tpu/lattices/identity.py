@@ -50,3 +50,42 @@ __all__ = [
     "log_partition_zn",
     "smoothing_parameter_zn",
 ]
+
+
+def successive_minima_zn(n: int):
+    """lambda_i(Z^n) = 1 for all i (reference identity.py:324-364)."""
+    import numpy as np
+    return np.ones(n)
+
+
+def kissing_number_zn(n: int) -> int:
+    """Z^n kissing number = 2n (the +-e_i neighbors)."""
+    return 2 * n
+
+
+def theta_series_zn(q, n: int):
+    """Theta series Theta_{Z^n}(q) = theta_3(0, q)^n
+    (reference identity.py:210-231)."""
+    from lattice_gaussian_mcmc_tpu.ops.theta import jacobi_theta3
+    import jax.numpy as jnp
+    return jacobi_theta3(jnp.asarray(0.0), jnp.asarray(q)) ** n
+
+
+def validate_identity_lattice(n: int = 8, sigma: float = 3.0,
+                              n_samples: int = 50_000, seed: int = 0) -> dict:
+    """Self-validation (reference identity.py:378-413): direct sampling
+    moments + partition-function consistency."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lattice_gaussian_mcmc_tpu.ops.theta import log_rho_Z
+    z = sample_zn(jax.random.key(seed), n, sigma, shape=(n_samples,))
+    za = np.asarray(z)
+    checks = {
+        "mean_ok": bool(abs(za.mean()) < 5 * sigma / np.sqrt(n_samples * n)),
+        "std_ok": bool(abs(za.std() - sigma) / sigma < 0.02),
+        "partition_consistent": bool(np.isfinite(
+            float(n * log_rho_Z(jnp.asarray(sigma, jnp.float64))))),
+    }
+    checks["all_passed"] = all(checks.values())
+    return checks

@@ -26,6 +26,13 @@ discrete-Gaussian base samplers"). Design:
 Correctness is validated against the XLA samplers in interpret mode with
 host-fed uniforms, and statistically on hardware; the law is identical,
 though bitwise RNG streams differ (hardware PRNG vs threefry).
+
+Hardware validation (v5e, hw PRNG, basis [[1,.5],[0,1]], sigma=0.35,
+262k draws): Klein TVD to the enumerated target 0.0099 — matching the
+theoretically expected Klein bias (f64 XLA reference measures 0.0095) —
+and 12 fused IMHK steps correct it to 0.0012 at acceptance 0.990.
+Throughput: 1.06M fused IMHK samples/s at n=512 NTRU (dim 1024),
+16384 chains, 9.9 ms/step.
 """
 
 from __future__ import annotations

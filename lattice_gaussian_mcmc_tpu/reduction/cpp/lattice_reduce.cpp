@@ -141,16 +141,25 @@ struct Enumerator {
   const std::vector<std::vector<double>>& r;
   std::vector<double> x, c, partdist, step;
   std::vector<double> best;
+  std::vector<double> prune;  // per-level bound fraction (linear pruning)
   double R;
   bool found = false;
   long long budget;
 
   Enumerator(int j0_, int m_, double bound,
              const std::vector<std::vector<double>>& mu_,
-             const std::vector<std::vector<double>>& r_, long long budget_)
+             const std::vector<std::vector<double>>& r_, long long budget_,
+             bool use_pruning = false)
       : m(m_), j0(j0_), mu(mu_), r(r_), x(m_, 0), c(m_, 0),
-        partdist(m_ + 1, 0), step(m_, 0), best(m_, 0), R(bound),
-        budget(budget_) {}
+        partdist(m_ + 1, 0), step(m_, 0), best(m_, 0), prune(m_ + 1, 1.0),
+        R(bound), budget(budget_) {
+    if (use_pruning) {
+      // linear pruning (Schnorr-Horner): at depth k from the leaves the
+      // partial distance may use only ~((m - k)/m) of the bound
+      for (int k = 0; k <= m; k++)
+        prune[k] = std::max(0.3, (double)(m - k + 1) / m);
+    }
+  }
 
   void center(int k) {
     double s = 0;
@@ -178,7 +187,7 @@ struct Enumerator {
       if (--budget < 0) return;
       double yk = x[k] - c[k];
       double dist = partdist[k + 1] + yk * yk * r[j0 + k][j0 + k];
-      if (dist < R * (1.0 - 1e-12)) {
+      if (dist < R * prune[k] * (1.0 - 1e-12)) {
         if (k == 0) {
           bool nonzero = false;
           for (int t = 0; t < m; t++)
@@ -227,7 +236,10 @@ int bkz_reduce(i64* basis, int n, int beta, double delta, int max_tours) {
       if (m < 2) continue;
       red.ensure(kend);
       double bound = red.r[j][j];
-      Enumerator en(j, m, bound * (1.0 - 1e-9), red.mu, red.r, 20000000);
+      // linear pruning for large blocks (finds slightly fewer vectors per
+      // tour but explores orders of magnitude fewer nodes at beta >= 25)
+      Enumerator en(j, m, bound * (1.0 - 1e-9), red.mu, red.r, 20000000,
+                    beta >= 25);
       en.run();
       if (en.found) {
         // insert sum_t x[t] b_{j+t} at position j: build the vector, append

@@ -168,3 +168,10 @@ def test_mcse_and_diagnose(rng):
     assert float(d["ess_per_sample"]) > 0.5
     j = jump_distances(x)
     assert float(j["frac_zero"]) == 0.0
+
+
+def test_mcse_spectral(rng):
+    from lattice_gaussian_mcmc_tpu.diagnostics.mcmc import mcse_spectral
+    x = jnp.asarray(rng.normal(size=20_000))
+    se = float(mcse_spectral(x))
+    assert abs(se - 1 / np.sqrt(20_000)) < 3e-3

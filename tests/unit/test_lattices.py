@@ -144,3 +144,19 @@ def test_sample_zn_moments(key):
     assert z.shape == (5000, 16)
     assert abs(float(jnp.mean(z))) < 0.05
     assert abs(float(jnp.std(z)) - 4.0) < 0.1
+
+
+def test_zn_closed_forms_extra(key):
+    from lattice_gaussian_mcmc_tpu.lattices.identity import (
+        kissing_number_zn,
+        successive_minima_zn,
+        theta_series_zn,
+        validate_identity_lattice,
+    )
+    assert kissing_number_zn(8) == 16
+    np.testing.assert_array_equal(successive_minima_zn(4), np.ones(4))
+    # theta_3(0, q)^n = (1 + 2q + 2q^4 + ...)^n
+    t = float(theta_series_zn(0.1, 1))
+    assert abs(t - (1 + 2 * 0.1 + 2 * 0.1**4 + 2 * 0.1**9)) < 1e-9
+    checks = validate_identity_lattice(n=4, sigma=2.0, n_samples=20_000)
+    assert checks["all_passed"], checks
