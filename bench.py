@@ -35,10 +35,10 @@ def main():
     )
 
     n_ring = int(os.environ.get("BENCH_N", "512"))
-    n_chains = int(os.environ.get("BENCH_CHAINS", "16384"))
+    n_chains = int(os.environ.get("BENCH_CHAINS", "524288"))
     n_steps = int(os.environ.get("BENCH_STEPS", "16"))
     block = int(os.environ.get("BENCH_BLOCK", "32"))
-    tile = int(os.environ.get("BENCH_TILE", "512"))
+    tile = int(os.environ.get("BENCH_TILE", "4096"))
     impl = os.environ.get("BENCH_IMPL",
                           "pallas" if pallas_supported() else "blocked")
 

@@ -31,8 +31,11 @@ Hardware validation (v5e, hw PRNG, basis [[1,.5],[0,1]], sigma=0.35,
 262k draws): Klein TVD to the enumerated target 0.0099 — matching the
 theoretically expected Klein bias (f64 XLA reference measures 0.0095) —
 and 12 fused IMHK steps correct it to 0.0012 at acceptance 0.990.
-Throughput: 1.06M fused IMHK samples/s at n=512 NTRU (dim 1024),
-16384 chains, 9.9 ms/step.
+Throughput: 6.17M fused IMHK samples/s at n=512 NTRU (dim 1024),
+524288 chains, tile=4096 (85 ms/step): wide tiles amortize the per-row
+latency of the sequential backward substitution; cs/isg are stored (n, 128)
+and lane-splat in-kernel so VMEM goes to chain state (vmem_limit raised to
+100 MB, far above XLA's 16 MB scoped default).
 """
 
 from __future__ import annotations
@@ -74,8 +77,9 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
       u_ref:    (n, n) f32 VMEM — scaled upper-triangular U (unit diagonal)
       ud_ref:   (n, GROUP) f32 VMEM — diagonal-block table:
                 ud[i, d] = U[i, (i//8)*8 + d]
-      cs_ref:   (n, tile) f32 VMEM — scaled center, pre-broadcast over lanes
-      isg_ref:  (n, tile) f32 VMEM — inverse conditional sigmas, same
+      cs_ref:   (n, 128) f32 VMEM — scaled center (lane 0 meaningful; stored
+                128-wide for alignment, splat to tile lanes in-kernel)
+      isg_ref:  (n, 128) f32 VMEM — inverse conditional sigmas, same
       unif_ref: (*, tile) f32 VMEM — host uniforms (host_rng only)
       x_ref:    (n, tile) f32 out — integer-valued coefficients
       lw_ref:   (1, tile) f32 out — summed log Z (IMHK log weight)
@@ -90,9 +94,9 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
     """
     if fused_mh:
         (xold_ref, lwold_ref, accold_ref,
-         x_ref, lw_ref, acc_ref, t_ref, z_ref) = rest
+         x_ref, lw_ref, acc_ref, t_ref, z_ref, c8_ref, is8_ref) = rest
     else:
-        x_ref, lw_ref, t_ref, z_ref = rest
+        x_ref, lw_ref, t_ref, z_ref, c8_ref, is8_ref = rest
     prog = pl.program_id(0)
     if not host_rng:
         pltpu.prng_seed(seed_ref[0, 0] + prog * 7919)
@@ -114,7 +118,11 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
         support = base + offs                     # (window, tile)
         zsc = (support - c) * isg_row             # sublane broadcasts only
         logits = -0.5 * zsc * zsc
-        m = jnp.max(logits, axis=0, keepdims=True)
+        # the max logit is at the center row: base = round(c) is the closest
+        # support point (ties are equal-valued), so slicing replaces a
+        # (window, tile) max reduction exactly
+        w2 = window // 2
+        m = logits[w2:w2 + 1, :]
         w = jnp.exp(logits - m)
         cdf = jnp.dot(tril, w, preferred_element_type=jnp.float32)
         total = cdf[window - 1:window, :]
@@ -151,15 +159,26 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
             u8 = u_ref[pl.ds(i8, GROUP), lo:hi]   # (8, BLOCK)
             ud8 = ud_ref[pl.ds(i8, GROUP), :]     # (8, 8)
             t8 = t_ref[pl.ds(r8, GROUP), :]       # (8, tile)
-            cs8 = cs_ref[pl.ds(i8, GROUP), :]     # (8, tile)
-            isg8 = isg_ref[pl.ds(i8, GROUP), :]   # (8, tile)
+            # lane-only splat (8,1)->(8,tile), materialized through VMEM
+            # scratch: Mosaic cannot dual-broadcast, and a lazily replicated
+            # layout would trip that inside sample_row — the round-trip
+            # forces a concrete tiled layout.
+            c8_ref[:] = jnp.broadcast_to(cs_ref[pl.ds(i8, GROUP), 0:1],
+                                         (GROUP, tile))
+            is8_ref[:] = jnp.broadcast_to(isg_ref[pl.ds(i8, GROUP), 0:1],
+                                          (GROUP, tile))
+            cs8 = c8_ref[:]
+            isg8 = is8_ref[:]
 
+            # tail within block from rows already written to x: x_ref[lo:hi]
+            # is constant during this group (the group's own rows are still
+            # zero there, their coupling comes from z_ref via ud8), so one
+            # (8, BLOCK) matmul covers all 8 rows.
+            s8 = jnp.dot(u8, x_ref[lo:hi, :],
+                         preferred_element_type=jnp.float32)
             for d in range(GROUP - 1, -1, -1):
-                # tail within block from rows already written to x
-                s_in = jnp.dot(u8[d:d + 1, :], x_ref[lo:hi, :],
-                               preferred_element_type=jnp.float32)
                 # coupling to rows of this group (still only in z_ref)
-                c = cs8[d:d + 1, :] - t8[d:d + 1, :] - s_in
+                c = cs8[d:d + 1, :] - t8[d:d + 1, :] - s8[d:d + 1, :]
                 for dp in range(d + 1, GROUP):
                     c = c - ud8[d:d + 1, dp:dp + 1] * z_ref[dp:dp + 1, :]
                 z, logZ = sample_row(c, isg8[d:d + 1, :], i8 + d)
@@ -221,9 +240,9 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
     U = ppre.U.astype(jnp.float32)
     ud = _diag_block_table(U)
     cs = jnp.asarray(jnp.broadcast_to(
-        ppre.cs.astype(jnp.float32)[:, None], (n, tile)))
+        ppre.cs.astype(jnp.float32)[:, None], (n, 128)))
     isg = jnp.asarray(jnp.broadcast_to(
-        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, tile)))
+        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, 128)))
     if host_rng:
         unif = jax.random.uniform(k_unif, (n, B), dtype=jnp.float32)
     else:  # tiny placeholder (never read)
@@ -239,9 +258,9 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, tile), lambda i: (0, 0),
+            pl.BlockSpec((n, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, tile), lambda i: (0, 0),
+            pl.BlockSpec((n, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((unif.shape[0], tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -259,7 +278,11 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
         scratch_shapes=[
             pltpu.VMEM((BLOCK, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
+            pltpu.VMEM((GROUP, tile), jnp.float32),
+            pltpu.VMEM((GROUP, tile), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seed, U, ud, cs, isg, unif)
     return x[:n_real, :].T, lw[0]
@@ -283,9 +306,9 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
     U = ppre.U.astype(jnp.float32)
     ud = _diag_block_table(U)
     cs = jnp.asarray(jnp.broadcast_to(
-        ppre.cs.astype(jnp.float32)[:, None], (n, tile)))
+        ppre.cs.astype(jnp.float32)[:, None], (n, 128)))
     isg = jnp.asarray(jnp.broadcast_to(
-        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, tile)))
+        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, 128)))
     unif = jnp.zeros((8, B), dtype=jnp.float32)  # placeholder
 
     # pad coeff state rows up to n (padded coords are always 0)
@@ -304,9 +327,9 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, tile), lambda i: (0, 0),
+            pl.BlockSpec((n, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, tile), lambda i: (0, 0),
+            pl.BlockSpec((n, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -333,7 +356,11 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
         scratch_shapes=[
             pltpu.VMEM((BLOCK, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
+            pltpu.VMEM((GROUP, tile), jnp.float32),
+            pltpu.VMEM((GROUP, tile), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(seed, U, ud, cs, isg, unif, xold, lwold, accold)
     return x[:n_real, :].T, lw[0], acc_out[0]
 
