@@ -18,6 +18,7 @@ from lattice_gaussian_mcmc_tpu.diagnostics.convergence import (  # noqa: F401
     mixing_time_from_tvd,
     batch_means_variance,
     kl_divergence_discrete,
+    ks_2sample,
 )
 from lattice_gaussian_mcmc_tpu.diagnostics.spectral import (  # noqa: F401
     spectral_gap_mc,

@@ -128,3 +128,27 @@ def batch_means_variance(x, n_batches: int = 32):
     B = T // n_batches
     xb = x[: n_batches * B].reshape(n_batches, B)
     return B * jnp.var(jnp.mean(xb, axis=1), ddof=1)
+
+
+def ks_2sample(x, y):
+    """Two-sample Kolmogorov-Smirnov test as a jitted sort/searchsorted
+    reduction (the reference calls scipy.stats.ks_2samp at
+    src/diagnostics/convergence.py:17,229 for its empirical mixing-time and
+    ergodicity checks). Returns (D, p_asymptotic).
+
+    p uses the asymptotic Kolmogorov distribution
+    Q(lam) = 2 sum_k (-1)^{k-1} exp(-2 k^2 lam^2), 32 terms.
+    """
+    x = jnp.sort(jnp.ravel(x))
+    y = jnp.sort(jnp.ravel(y))
+    n, m = x.shape[0], y.shape[0]
+    allv = jnp.concatenate([x, y])
+    # right-continuous ECDFs evaluated at every sample point
+    cdf_x = jnp.searchsorted(x, allv, side="right").astype(x.dtype) / n
+    cdf_y = jnp.searchsorted(y, allv, side="right").astype(x.dtype) / m
+    d = jnp.max(jnp.abs(cdf_x - cdf_y))
+    en = jnp.sqrt(n * m / (n + m))
+    lam = (en + 0.12 + 0.11 / en) * d  # Stephens' small-sample correction
+    k = jnp.arange(1, 33, dtype=x.dtype)
+    p = 2.0 * jnp.sum((-1.0) ** (k - 1) * jnp.exp(-2.0 * (k * lam) ** 2))
+    return d, jnp.clip(p, 0.0, 1.0)

@@ -14,6 +14,8 @@ from lattice_gaussian_mcmc_tpu.lattices.qary import (  # noqa: F401
     rlwe_lattice,
     module_lattice,
     estimate_bkz_security,
+    hnf,
+    lattice_volume_qary,
     falcon_parameters,
     dilithium_parameters,
 )

@@ -196,3 +196,79 @@ def dilithium_parameters(level: int = 2) -> Dict[str, float]:
     if level not in params:
         raise ValueError(f"unknown Dilithium level {level}")
     return params[level]
+
+
+# ---------------------------------------------------------------------------
+# Hermite Normal Form (host-side exact integers — reference qary.py:403-412
+# computes HNF through Sage; here it is a direct column-reduction on Python
+# bigints, so no modulus/overflow constraints).
+# ---------------------------------------------------------------------------
+
+
+def hnf(B) -> np.ndarray:
+    """Column-style Hermite Normal Form of an integer matrix.
+
+    Returns H (lower-triangular, non-negative off-diagonals below the pivot,
+    each pivot strictly dominating its row to the right... using the common
+    convention: H[i, j] = 0 for j > i within the pivot structure,
+    0 <= H[i, j] < H[i, i] for j < i on pivot rows) such that the columns of
+    H generate the same lattice as the columns of B. Exact arithmetic via
+    Python ints (arbitrary precision).
+    """
+    A = [[int(v) for v in row] for row in np.asarray(B)]
+    n_rows = len(A)
+    n_cols = len(A[0]) if n_rows else 0
+
+    def col(j):
+        return [A[i][j] for i in range(n_rows)]
+
+    pivot_col = 0
+    for i in range(n_rows):
+        if pivot_col >= n_cols:
+            break
+        # gcd-reduce row i across columns pivot_col..end (extended Euclid by
+        # repeated division keeps all entries integral and the lattice fixed)
+        while True:
+            nz = [j for j in range(pivot_col, n_cols) if A[i][j] != 0]
+            if len(nz) <= 1:
+                break
+            # pick the column with the smallest nonzero |entry| as the pivot
+            jmin = min(nz, key=lambda j: abs(A[i][j]))
+            for j in nz:
+                if j == jmin:
+                    continue
+                qf = A[i][j] // A[i][jmin]
+                for r in range(n_rows):
+                    A[r][j] -= qf * A[r][jmin]
+        nz = [j for j in range(pivot_col, n_cols) if A[i][j] != 0]
+        if not nz:
+            continue
+        j0 = nz[0]
+        if j0 != pivot_col:
+            for r in range(n_rows):
+                A[r][j0], A[r][pivot_col] = A[r][pivot_col], A[r][j0]
+        if A[i][pivot_col] < 0:
+            for r in range(n_rows):
+                A[r][pivot_col] = -A[r][pivot_col]
+        # reduce earlier columns against this pivot so 0 <= entry < pivot
+        p = A[i][pivot_col]
+        for j in range(pivot_col):
+            qf = A[i][j] // p
+            if qf:
+                for r in range(n_rows):
+                    A[r][j] -= qf * A[r][pivot_col]
+        pivot_col += 1
+
+    H = np.array(A, dtype=object)
+    try:
+        return H.astype(np.int64)
+    except OverflowError:  # keep bigints if entries exceed int64
+        return H
+
+
+def lattice_volume_qary(n: int, q: int, k: Optional[int] = None) -> float:
+    """Analytic volume det(L) = q^k of an n-dim q-ary lattice with k modular
+    constraints (reference qary.py:414-433; k defaults to n/2)."""
+    if k is None:
+        k = n // 2
+    return float(q) ** k

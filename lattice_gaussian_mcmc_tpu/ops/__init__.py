@@ -13,6 +13,8 @@ from lattice_gaussian_mcmc_tpu.ops.theta import (  # noqa: F401
     log_rho_Z,
     jacobi_theta3,
     smoothing_parameter_zn,
+    log_riemann_theta,
+    riemann_theta,
 )
 from lattice_gaussian_mcmc_tpu.ops.linalg import (  # noqa: F401
     gso_qr,

@@ -81,3 +81,36 @@ def smoothing_parameter_generic(gs_norms, n: int, eps: float = 0.01):
     uses the same bound through the dual Gaussian heuristic)."""
     lam1_dual_lb = 1.0 / jnp.max(gs_norms)
     return smoothing_parameter_zn(n, eps) / lam1_dual_lb
+
+
+def log_riemann_theta(basis, sigma, center=None, radius: int = 4):
+    """log Theta_Lambda(sigma, c) = log sum_{x in Lambda} rho_{sigma,c}(x),
+    evaluated by enumerating coefficient vectors in [-radius, radius]^n
+    (parity: reference src/samplers/utils.py:208-242, which enumerates the
+    same box through numpy on host). Exact for sigma small relative to the
+    basis; the box must cover ~6 sigma / min||b*_i|| for full accuracy.
+
+    The enumeration is materialized as one ((2r+1)^n, n) coefficient matrix
+    and reduced with a single matmul + logsumexp on device — practical for
+    n <= 8 (the same practical limit as the reference's version).
+    """
+    import numpy as np
+    from jax.scipy.special import logsumexp
+
+    B = jnp.asarray(basis)
+    n = B.shape[0]
+    if (2 * radius + 1) ** n > 20_000_000:
+        raise ValueError(f"enumeration box (2*{radius}+1)^{n} too large")
+    grids = np.meshgrid(*([np.arange(-radius, radius + 1)] * n),
+                        indexing="ij")
+    coeffs = jnp.asarray(
+        np.stack([g.ravel() for g in grids], axis=-1), dtype=B.dtype)
+    pts = coeffs @ B  # ((2r+1)^n, n) lattice points
+    if center is not None:
+        pts = pts - jnp.asarray(center, dtype=B.dtype)
+    sq = jnp.sum(pts * pts, axis=-1)
+    return logsumexp(-0.5 * sq / (jnp.asarray(sigma, B.dtype) ** 2))
+
+
+def riemann_theta(basis, sigma, center=None, radius: int = 4):
+    return jnp.exp(log_riemann_theta(basis, sigma, center, radius))

@@ -57,6 +57,39 @@ class PlottingTools:
                 json.dump(data, f, indent=2, default=float)
         plt.close(fig)
 
+    def save_tikz(self, name: str, curves: Dict[str, tuple],
+                  xlabel: str = "x", ylabel: str = "y",
+                  xmode: str = "normal", ymode: str = "normal"):
+        """Export line plots as a standalone pgfplots/TikZ .tex file
+        (reference :993-1125 ships a TikZ export alongside PNG/PDF so paper
+        figures can be regenerated natively in LaTeX).
+
+        curves: {legend label: (x array, y array)}; x/ymode "log" selects
+        logarithmic axes.
+        """
+        os.makedirs(self.output_dir, exist_ok=True)
+        path = os.path.join(self.output_dir, f"{name}.tex")
+        lines = [
+            r"\documentclass[tikz]{standalone}",
+            r"\usepackage{pgfplots}",
+            r"\pgfplotsset{compat=1.17}",
+            r"\begin{document}",
+            r"\begin{tikzpicture}",
+            (r"\begin{axis}[xlabel={%s}, ylabel={%s}, xmode=%s, ymode=%s,"
+             r" legend pos=outer north east, grid=major]"
+             % (xlabel, ylabel, xmode, ymode)),
+        ]
+        for label, (x, y) in curves.items():
+            x = np.asarray(x).ravel()
+            y = np.asarray(y).ravel()
+            coords = " ".join(f"({xv:.8g},{yv:.8g})" for xv, yv in zip(x, y))
+            lines.append(r"\addplot coordinates {%s};" % coords)
+            lines.append(r"\addlegendentry{%s}" % label.replace("_", r"\_"))
+        lines += [r"\end{axis}", r"\end{tikzpicture}", r"\end{document}", ""]
+        with open(path, "w") as f:
+            f.write("\n".join(lines))
+        return path
+
     # -- plots -------------------------------------------------------------
 
     def lattice_gaussian_2d(self, points, sigma: float, center=None,

@@ -1,0 +1,115 @@
+"""Unit tests: HNF, Riemann theta, KS two-sample test, TikZ export.
+
+Parity targets: reference HNF (src/lattices/qary.py:403-412), Riemann theta
+(src/samplers/utils.py:208-242), scipy.ks_2samp call sites
+(src/diagnostics/convergence.py:17,229), TikZ export
+(src/visualization/plots.py:993-1125).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lattice_gaussian_mcmc_tpu.lattices import hnf, lattice_volume_qary
+from lattice_gaussian_mcmc_tpu.lattices.qary import qary_basis
+from lattice_gaussian_mcmc_tpu.ops import log_riemann_theta
+from lattice_gaussian_mcmc_tpu.ops.theta import log_partition_zn
+from lattice_gaussian_mcmc_tpu.diagnostics import ks_2sample
+from lattice_gaussian_mcmc_tpu.visualization.plots import PlottingTools
+
+
+class TestHNF:
+    def test_preserves_lattice_random(self):
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            n = int(rng.integers(2, 6))
+            B = rng.integers(-9, 10, size=(n, n))
+            while abs(round(np.linalg.det(B.astype(float)))) < 1:
+                B = rng.integers(-9, 10, size=(n, n))
+            H = hnf(B)
+            # determinant preserved (same lattice volume)
+            assert abs(round(np.linalg.det(H.astype(float)))) == abs(
+                round(np.linalg.det(B.astype(float))))
+            # every original column is an integer combination of H's columns
+            X = np.linalg.solve(H.astype(float), B.astype(float))
+            np.testing.assert_allclose(X, np.round(X), atol=1e-6)
+            # lower triangular with positive diagonal
+            assert np.allclose(np.triu(H.astype(float), 1), 0)
+            assert (np.diag(H.astype(float)) > 0).all()
+
+    def test_qary_det(self):
+        rng = np.random.default_rng(3)
+        q = 97
+        B = qary_basis(rng.integers(0, q, size=(3, 3)), q)
+        H = hnf(B)
+        assert abs(round(np.linalg.det(H.astype(float)))) == q**3
+        assert lattice_volume_qary(6, q, k=3) == float(q**3)
+
+    def test_rectangular_generators(self):
+        # 3 generators of a 2D lattice -> HNF keeps the span
+        B = np.array([[2, 0], [0, 2], [1, 1]]).T  # columns are generators
+        H = hnf(B)
+        Hf = H.astype(float)
+        nz = [j for j in range(Hf.shape[1]) if np.abs(Hf[:, j]).sum() > 0]
+        assert len(nz) == 2  # rank 2
+        # det of the lattice spanned: [[2,0],[0,2],[1,1]] spans det-2 lattice
+        assert abs(round(np.linalg.det(Hf[:, nz]))) == 2
+
+
+class TestRiemannTheta:
+    def test_matches_zn_closed_form(self):
+        for n, sigma in [(2, 0.8), (3, 1.2)]:
+            lt = float(log_riemann_theta(jnp.eye(n), sigma, radius=10))
+            lz = float(log_partition_zn(jnp.asarray(sigma), n))
+            assert abs(lt - lz) < 1e-9
+
+    def test_scaling(self):
+        # theta_{2Z^2}(sigma) = theta_{Z}(sigma/2)^2
+        lt = float(log_riemann_theta(2 * jnp.eye(2), 1.0, radius=12))
+        lz = float(log_partition_zn(jnp.asarray(0.5), 2))
+        assert abs(lt - lz) < 1e-9
+
+    def test_center_shift_reduces_mass(self):
+        B = jnp.eye(2)
+        at0 = float(log_riemann_theta(B, 0.7, radius=8))
+        athalf = float(log_riemann_theta(B, 0.7, center=jnp.array([0.5, 0.5]),
+                                         radius=8))
+        assert athalf < at0  # deep hole carries less Gaussian mass
+
+    def test_box_guard(self):
+        with pytest.raises(ValueError):
+            log_riemann_theta(jnp.eye(12), 1.0, radius=4)
+
+
+class TestKS2Sample:
+    def test_matches_scipy(self):
+        from scipy import stats
+        rng = np.random.default_rng(0)
+        for shift in [0.0, 0.3, 1.0]:
+            x = rng.normal(size=300)
+            y = rng.normal(loc=shift, size=451)
+            d, p = jax.jit(ks_2sample)(jnp.asarray(x), jnp.asarray(y))
+            ref = stats.ks_2samp(x, y)
+            assert abs(float(d) - ref.statistic) < 1e-9
+            assert abs(float(p) - ref.pvalue) < 0.02
+
+    def test_same_distribution_high_p(self, key):
+        x = jax.random.normal(key, (500,))
+        y = jax.random.normal(jax.random.fold_in(key, 1), (500,))
+        _, p = ks_2sample(x, y)
+        assert float(p) > 0.05
+
+
+class TestTikzExport:
+    def test_writes_pgfplots(self, tmp_path):
+        pt = PlottingTools(output_dir=str(tmp_path))
+        path = pt.save_tikz(
+            "scaling", {"klein": (np.arange(1, 5), 1.0 / np.arange(1, 5))},
+            xlabel="n", ylabel="rate", ymode="log")
+        assert os.path.exists(path)
+        tex = open(path).read()
+        assert r"\addplot" in tex and r"\addlegendentry{klein}" in tex
+        assert "ymode=log" in tex
