@@ -44,8 +44,10 @@ def main():
 
     lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
                        dtype=jnp.float32)
-    sigma = falcon_parameters(512)["sigma"] if n_ring >= 256 else \
-        1.3 * float(jnp.max(lat.gs_norms))
+    if n_ring >= 256:
+        sigma = falcon_parameters(1024 if n_ring >= 1024 else 512)["sigma"]
+    else:
+        sigma = 1.3 * float(jnp.max(lat.gs_norms))
     pre = klein_precompute(lat, sigma)
 
     key = jax.random.key(0)
@@ -87,7 +89,7 @@ def main():
     # ~ rejection rate r, so ESS/sample ~ (1-r)/(1+r) = a/(2-a).
     ess_rate = sps * acc / (2.0 - acc)
     result = {
-        "metric": "imhk_samples_per_sec_ntru512",
+        "metric": f"imhk_samples_per_sec_ntru{n_ring}",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / 1000.0, 2),
