@@ -28,14 +28,18 @@ host-fed uniforms, and statistically on hardware; the law is identical,
 though bitwise RNG streams differ (hardware PRNG vs threefry).
 
 Hardware validation (v5e, hw PRNG, basis [[1,.5],[0,1]], sigma=0.35,
-262k draws): Klein TVD to the enumerated target 0.0099 — matching the
-theoretically expected Klein bias (f64 XLA reference measures 0.0095) —
-and 12 fused IMHK steps correct it to 0.0012 at acceptance 0.990.
-Throughput: 6.17M fused IMHK samples/s at n=512 NTRU (dim 1024),
-524288 chains, tile=4096 (85 ms/step): wide tiles amortize the per-row
-latency of the sequential backward substitution; cs/isg are stored (n, 128)
-and lane-splat in-kernel so VMEM goes to chain state (vmem_limit raised to
-100 MB, far above XLA's 16 MB scoped default).
+262k draws): Klein empirical TVD to the exact windowed-Klein law 0.0006
+(the law's own bias vs D_{Lambda,sigma} is 0.0096 by enumeration), and 12
+fused IMHK steps reach the target at TVD 0.0006 with acceptance 0.9904 —
+exactly the enumerated stationary acceptance 0.9904
+(tests/unit/test_klein_pallas.py::test_fused_imhk_hardware_hard_regime).
+Throughput: 7.34M fused IMHK samples/s at n=512 NTRU (dim 1024), 524288
+chains, tile=4096: wide tiles amortize the per-row latency of the
+sequential backward substitution; cs/isg are stored (n, 128) and lane-splat
+in-kernel so VMEM goes to chain state (vmem_limit raised to 100 MB, far
+above XLA's 16 MB scoped default); n_steps run inside one dispatch with the
+chain state VMEM-resident (input/output buffer aliasing), eliminating
+per-step dispatch (~35 ms on the remote tunnel) and HBM round-trips.
 """
 
 from __future__ import annotations
@@ -69,7 +73,7 @@ def pallas_supported() -> bool:
 
 
 def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
-            n, window, host_rng, tile, fused_mh):
+            n, window, host_rng, tile, fused_mh, n_steps=1):
     """One program: sample `tile` chains end-to-end.
 
     Refs:
@@ -94,7 +98,9 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
     """
     if fused_mh:
         (xold_ref, lwold_ref, accold_ref,
-         x_ref, lw_ref, acc_ref, t_ref, z_ref, c8_ref, is8_ref) = rest
+         x_ref, lw_ref, acc_ref, t_ref, z_ref, c8_ref, is8_ref,
+         p_ref) = rest
+        del xold_ref  # aliased to x_ref (input_output_aliases); state is x_ref
     else:
         x_ref, lw_ref, t_ref, z_ref, c8_ref, is8_ref = rest
     prog = pl.program_id(0)
@@ -108,8 +114,6 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
     offs = (jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
             .astype(jnp.float32) - window // 2)
 
-    x_ref[:] = jnp.zeros((n, tile), jnp.float32)
-    lw = jnp.zeros((1, tile), jnp.float32)
 
     def sample_row(c, isg_row, row_index):
         """Draw `tile` variates around centers c (1, tile); isg_row (1, tile).
@@ -144,65 +148,83 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
         return z, logZ
 
     nb = n // BLOCK
-    for bi in range(nb - 1, -1, -1):
-        lo, hi = bi * BLOCK, (bi + 1) * BLOCK
-        # cross-block tail contribution (MXU): (BLOCK, n-hi) @ (n-hi, tile)
-        if hi < n:
-            t_ref[:] = jnp.dot(u_ref[lo:hi, hi:], x_ref[hi:, :],
-                               preferred_element_type=jnp.float32)
-        else:
-            t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
 
-        def group_body(g, lw, *, lo=lo, hi=hi):
-            r8 = pl.multiple_of(BLOCK - GROUP - g * GROUP, GROUP)  # top first
-            i8 = pl.multiple_of(lo + r8, GROUP)
-            u8 = u_ref[pl.ds(i8, GROUP), lo:hi]   # (8, BLOCK)
-            ud8 = ud_ref[pl.ds(i8, GROUP), :]     # (8, 8)
-            t8 = t_ref[pl.ds(r8, GROUP), :]       # (8, tile)
-            # lane-only splat (8,1)->(8,tile), materialized through VMEM
-            # scratch: Mosaic cannot dual-broadcast, and a lazily replicated
-            # layout would trip that inside sample_row — the round-trip
-            # forces a concrete tiled layout.
-            c8_ref[:] = jnp.broadcast_to(cs_ref[pl.ds(i8, GROUP), 0:1],
-                                         (GROUP, tile))
-            is8_ref[:] = jnp.broadcast_to(isg_ref[pl.ds(i8, GROUP), 0:1],
-                                          (GROUP, tile))
-            cs8 = c8_ref[:]
-            isg8 = is8_ref[:]
+    def propose(out_ref):
+        """One full Klein draw into out_ref (n, tile); returns lw (1, tile)."""
+        out_ref[:] = jnp.zeros((n, tile), jnp.float32)
+        lw = jnp.zeros((1, tile), jnp.float32)
+        for bi in range(nb - 1, -1, -1):
+            lo, hi = bi * BLOCK, (bi + 1) * BLOCK
+            # cross-block tail contribution (MXU): (BLOCK, n-hi) @ (n-hi, tile)
+            if hi < n:
+                t_ref[:] = jnp.dot(u_ref[lo:hi, hi:], out_ref[hi:, :],
+                                   preferred_element_type=jnp.float32)
+            else:
+                t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
 
-            # tail within block from rows already written to x: x_ref[lo:hi]
-            # is constant during this group (the group's own rows are still
-            # zero there, their coupling comes from z_ref via ud8), so one
-            # (8, BLOCK) matmul covers all 8 rows.
-            s8 = jnp.dot(u8, x_ref[lo:hi, :],
-                         preferred_element_type=jnp.float32)
-            for d in range(GROUP - 1, -1, -1):
-                # coupling to rows of this group (still only in z_ref)
-                c = cs8[d:d + 1, :] - t8[d:d + 1, :] - s8[d:d + 1, :]
-                for dp in range(d + 1, GROUP):
-                    c = c - ud8[d:d + 1, dp:dp + 1] * z_ref[dp:dp + 1, :]
-                z, logZ = sample_row(c, isg8[d:d + 1, :], i8 + d)
-                z_ref[d:d + 1, :] = z
-                lw = lw + logZ
-            x_ref[pl.ds(i8, GROUP), :] = z_ref[:]
-            return lw
+            def group_body(g, lw, *, lo=lo, hi=hi):
+                r8 = pl.multiple_of(BLOCK - GROUP - g * GROUP, GROUP)  # top 1st
+                i8 = pl.multiple_of(lo + r8, GROUP)
+                u8 = u_ref[pl.ds(i8, GROUP), lo:hi]   # (8, BLOCK)
+                ud8 = ud_ref[pl.ds(i8, GROUP), :]     # (8, 8)
+                t8 = t_ref[pl.ds(r8, GROUP), :]       # (8, tile)
+                # lane-only splat (8,1)->(8,tile), materialized through VMEM
+                # scratch: Mosaic cannot dual-broadcast, and a lazily
+                # replicated layout would trip that inside sample_row — the
+                # round-trip forces a concrete tiled layout.
+                c8_ref[:] = jnp.broadcast_to(cs_ref[pl.ds(i8, GROUP), 0:1],
+                                             (GROUP, tile))
+                is8_ref[:] = jnp.broadcast_to(isg_ref[pl.ds(i8, GROUP), 0:1],
+                                              (GROUP, tile))
+                cs8 = c8_ref[:]
+                isg8 = is8_ref[:]
 
-        lw = jax.lax.fori_loop(0, BLOCK // GROUP,
-                               lambda g, a: group_body(g, a), lw)
+                # tail within block from rows already written: out_ref[lo:hi]
+                # is constant during this group (the group's own rows are
+                # still zero there, their coupling comes from z_ref via ud8),
+                # so one (8, BLOCK) matmul covers all 8 rows.
+                s8 = jnp.dot(u8, out_ref[lo:hi, :],
+                             preferred_element_type=jnp.float32)
+                for d in range(GROUP - 1, -1, -1):
+                    # coupling to rows of this group (still only in z_ref)
+                    c = cs8[d:d + 1, :] - t8[d:d + 1, :] - s8[d:d + 1, :]
+                    for dp in range(d + 1, GROUP):
+                        c = c - ud8[d:d + 1, dp:dp + 1] * z_ref[dp:dp + 1, :]
+                    z, logZ = sample_row(c, isg8[d:d + 1, :], i8 + d)
+                    z_ref[d:d + 1, :] = z
+                    lw = lw + logZ
+                out_ref[pl.ds(i8, GROUP), :] = z_ref[:]
+                return lw
+
+            lw = jax.lax.fori_loop(0, BLOCK // GROUP,
+                                   lambda g, a: group_body(g, a), lw)
+        return lw
 
     if fused_mh:
-        # Metropolis accept: u ~ U(0,1); accept iff log u < lw_new - lw_old
-        bits = pltpu.bitcast(pltpu.prng_random_bits((1, tile)), jnp.int32)
-        mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
-        fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
-        u01 = pltpu.bitcast(fbits, jnp.float32) - 1.0
-        u01 = jnp.maximum(u01, 1e-30)
-        accept = jnp.log(u01) < (lw - lwold_ref[:])        # (1, tile)
-        x_ref[:] = jnp.where(accept, x_ref[:], xold_ref[:])
-        lw_ref[:] = jnp.where(accept, lw, lwold_ref[:])
-        acc_ref[:] = accold_ref[:] + accept.astype(jnp.float32)
+        # n_steps fused IMHK steps in one dispatch: the chain state lives in
+        # x_ref (aliased with the xold input buffer) for the whole loop —
+        # zero HBM round-trips and zero dispatch overhead between steps.
+        def step_body(s, carry):
+            lw_st, acc_st = carry
+            lw_prop = propose(p_ref)
+            # Metropolis accept: u ~ U(0,1); accept iff log u < lw_new - old
+            bits = pltpu.bitcast(pltpu.prng_random_bits((1, tile)), jnp.int32)
+            mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
+            fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
+            u01 = pltpu.bitcast(fbits, jnp.float32) - 1.0
+            u01 = jnp.maximum(u01, 1e-30)
+            accept = jnp.log(u01) < (lw_prop - lw_st)      # (1, tile)
+            x_ref[:] = jnp.where(accept, p_ref[:], x_ref[:])
+            lw_st = jnp.where(accept, lw_prop, lw_st)
+            acc_st = acc_st + accept.astype(jnp.float32)
+            return lw_st, acc_st
+
+        lw_f, acc_f = jax.lax.fori_loop(
+            0, n_steps, step_body, (lwold_ref[:], accold_ref[:]))
+        lw_ref[:] = lw_f
+        acc_ref[:] = acc_f
     else:
-        lw_ref[:] = lw
+        lw_ref[:] = propose(x_ref)
 
 
 def _diag_block_table(U: jnp.ndarray) -> jnp.ndarray:
@@ -288,12 +310,15 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
     return x[:n_real, :].T, lw[0]
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit, static_argnames=("tile", "n_steps",
+                                              "interpret"))
 def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
-                           acc, tile: int = 512):
-    """ONE fused IMHK step: Klein proposal + in-kernel Metropolis accept.
-    coeffs (B, n), log_ws (B,), acc (B,) f32 acceptance counters.
-    Returns updated (coeffs, log_ws, acc). Single executable per step."""
+                           acc, tile: int = 512, n_steps: int = 1,
+                           interpret: bool = False):
+    """n_steps fused IMHK steps in ONE dispatch: Klein proposal + in-kernel
+    Metropolis accept, chain state held in VMEM across steps (the xold input
+    is buffer-aliased to the x output). coeffs (B, n), log_ws (B,), acc (B,)
+    f32 acceptance counters. Returns updated (coeffs, log_ws, acc)."""
     from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import _pad_precomp
     B = coeffs.shape[0]
     assert B % tile == 0
@@ -318,7 +343,7 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
     accold = acc.astype(jnp.float32)[None, :]
 
     kernel = functools.partial(_kernel, n=n, window=window, host_rng=False,
-                               tile=tile, fused_mh=True)
+                               tile=tile, fused_mh=True, n_steps=n_steps)
     x, lw, acc_out = pl.pallas_call(
         kernel,
         grid=(B // tile,),
@@ -358,9 +383,15 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
             pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
+            pltpu.VMEM((n, tile), jnp.float32),
         ],
+        # the chain state (xold, lwold, accold) is updated in place across
+        # the fused steps — alias it with the outputs so only ONE (n, B)
+        # state buffer exists in VMEM per program
+        input_output_aliases={6: 0, 7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(seed, U, ud, cs, isg, unif, xold, lwold, accold)
     return x[:n_real, :].T, lw[0], acc_out[0]
 
@@ -376,17 +407,21 @@ def _mh_accept(key, X, lw, Y, lw_y, acc):
 
 
 def imhk_steps_batch_pallas(key: jax.Array, pre: KleinPrecomp, coeffs,
-                            log_ws, n_steps: int, tile: int = 512):
-    """IMHK steps driven by the fused Pallas step kernel.
-
-    Python loop dispatching ONE executable per step — wrapping the
-    pallas_call in lax.scan stalls the remote Mosaic compile, and
-    alternating two executables costs ~100 ms/step in program switching on
-    the remote-execution tunnel. Returns (coeffs, log_ws, acc int32)."""
+                            log_ws, n_steps: int, tile: int = 512,
+                            steps_per_dispatch: int = 64):
+    """IMHK steps driven by the fused Pallas kernel: a single executable
+    running `steps_per_dispatch` steps per dispatch with the chain state
+    resident in VMEM (one dispatch total for typical n_steps). Per-step
+    Python dispatch costs ~35 ms on the remote-execution tunnel, the fused
+    loop ~0. Returns (coeffs, log_ws, acc int32)."""
     B = coeffs.shape[0]
     acc = jnp.zeros((B,), jnp.float32)
     X, lw = coeffs, log_ws
-    for t in range(n_steps):
+    done, t = 0, 0
+    while done < n_steps:
+        k = min(steps_per_dispatch, n_steps - done)
         X, lw, acc = imhk_step_pallas_fused(jax.random.fold_in(key, t), pre,
-                                            X, lw, acc, tile=tile)
+                                            X, lw, acc, tile=tile, n_steps=k)
+        done += k
+        t += 1
     return X, lw, acc.astype(jnp.int32)

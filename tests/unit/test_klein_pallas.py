@@ -61,3 +61,32 @@ def test_pallas_multiblock_rows(key):
     assert X.shape == (256, 384)
     assert abs(float(X.std()) - 3.0) < 0.05
     assert abs(float(X.mean())) < 0.05
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu",),
+                    reason="fused path uses the TPU hardware PRNG")
+def test_fused_imhk_hardware_hard_regime():
+    """Hard-regime validation on real TPU: sigma=0.35 half-integer centers.
+    Exact values (enumeration with the kernel's own window discretization):
+    Klein bias TVD 0.0096, IMHK stationary acceptance 0.9904, IMHK-12 ~ pi."""
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        imhk_steps_batch_pallas)
+    import itertools
+    basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    sigma = 0.35
+    lat = lattice_from_basis(basis, dtype=jnp.float32)
+    pre = klein_precompute(lat, sigma)
+    B = 131072
+    key = jax.random.key(11)
+    X, lw = klein_sample_batch_pallas(key, pre, B, tile=4096)
+    X12, _, acc = imhk_steps_batch_pallas(jax.random.fold_in(key, 1), pre,
+                                          X, lw, 12, tile=4096)
+    coords = list(itertools.product(range(-8, 9), repeat=2))
+    pts = np.array(coords, float) @ basis.T
+    logp = -0.5 * np.sum(pts**2, 1) / sigma**2
+    p = np.exp(logp - logp.max())
+    p /= p.sum()
+    target = {tuple(map(int, c)): v for c, v in zip(coords, p)}
+    assert tvd_dicts(empirical_dist(X12), target) < 0.005
+    acc_rate = float(jnp.sum(acc)) / (B * 12)
+    assert abs(acc_rate - 0.9904) < 0.01
