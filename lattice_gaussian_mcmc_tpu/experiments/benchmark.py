@@ -33,6 +33,11 @@ from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
     imhk_steps_batch_blocked,
     klein_sample_batch_blocked,
 )
+from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+    imhk_steps_batch_pallas,
+    klein_sample_batch_pallas,
+    pallas_supported,
+)
 
 
 def _time_fn(fn, warmup: int, runs: int) -> Dict[str, float]:
@@ -61,40 +66,82 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
     if algorithm == "direct":
         lat = identity_lattice(n, dtype=dtype)
         sigma = 5.0
+        if pallas_supported() and (B * n) % 262144 == 0:
+            from lattice_gaussian_mcmc_tpu.ops.kernels.zn_pallas import (
+                sample_zn_pallas)
 
-        def run(k=key):
-            return sample_zn(k, n=n, sigma=sigma, shape=(B,))
+            def run(k=key):
+                return sample_zn_pallas(k, B * n, sigma).reshape(B, n)
+        else:
+            def run(k=key):
+                return sample_zn(k, n=n, sigma=sigma, shape=(B,))
+    elif algorithm in ("klein", "imhk") and n >= 256:
+        # q-ary bases at these dims keep unit Gram-Schmidt tails even after
+        # LLL (min||b*|| = 1 while sigma ~ 1.5 q), which needs an enormous 1D
+        # window; the reference's own large-dim Klein/IMHK benchmarks use
+        # NTRU lattices (balanced profile) — do the same
+        from lattice_gaussian_mcmc_tpu.lattices import ntru_lattice
+        lat = ntru_lattice(n // 2, q=12289, seed=cfg.seed,
+                           cache_dir="bench_cache", dtype=dtype)
+        sigma = 1.3 * float(jnp.max(lat.gs_norms))
     else:
         lat = qary_lattice(n, n // 2, q=3329, seed=cfg.seed, dtype=dtype)
         from lattice_gaussian_mcmc_tpu.reduction import lll_reduce
-        if n <= 256:
+        if n <= 512:  # incremental-GSO native LLL: ~9 s at 256, ~94 s at 512
             lat = lattice_from_basis(lll_reduce(np.asarray(lat.basis)),
                                      name=lat.name + "-lll", dtype=dtype)
         sigma = 1.5 * float(jnp.max(lat.gs_norms))
+    if algorithm != "direct":
         pre = klein_precompute(lat, sigma)
+        # speed-of-light Pallas path on TPU; blocked XLA elsewhere
+        use_pallas = pallas_supported()
+        tile = max(t for t in (256, 512, 1024, 2048, 4096) if B % t == 0) \
+            if use_pallas else None
         if algorithm == "klein":
-            def run(k=key):
-                return klein_sample_batch_blocked(k, pre, B, cfg.block)
+            if use_pallas:
+                def run(k=key):
+                    return klein_sample_batch_pallas(k, pre, B, tile=tile)
+            else:
+                def run(k=key):
+                    return klein_sample_batch_blocked(k, pre, B, cfg.block)
         elif algorithm == "imhk":
-            X0, lw0 = klein_sample_batch_blocked(key, pre, B, cfg.block)
+            if use_pallas:
+                X0, lw0 = klein_sample_batch_pallas(key, pre, B, tile=tile)
 
-            def run(k=key, X0=X0, lw0=lw0):
-                return imhk_steps_batch_blocked(k, pre, X0, lw0, 4, cfg.block)
+                def run(k=key, X0=X0, lw0=lw0):
+                    return imhk_steps_batch_pallas(k, pre, X0, lw0, 4,
+                                                   tile=tile)
+            else:
+                X0, lw0 = klein_sample_batch_blocked(key, pre, B, cfg.block)
+
+                def run(k=key, X0=X0, lw0=lw0):
+                    return imhk_steps_batch_blocked(k, pre, X0, lw0, 4,
+                                                    cfg.block)
         elif algorithm == "peikert":
+            if n > 256:
+                # Peikert needs sigma >= r*s1(B); on unreduced q-ary bases at
+                # these dims that forces a degenerate (clamped) 1D window —
+                # not a meaningful cell (the reference has no Peikert bench)
+                return None
             try:
                 s = PeikertSampler(lat, 2.0 * sigma *
                                    float(jnp.linalg.norm(lat.basis, ord=2)) /
                                    float(jnp.max(lat.gs_norms)))
             except ValueError:
                 return None
+            # randomized rounding materializes (B, n, window) logits; cap the
+            # batch so that stays under ~1 GB of HBM
+            Bp = min(B, max(1024, 2**28 // (n * 8)))
 
-            def run(k=key, s=s):
-                return s.sample(k, B, return_coeffs=True)
+            def run(k=key, s=s, Bp=Bp):
+                return s.sample(k, Bp, return_coeffs=True)
         else:
             raise ValueError(f"unknown algorithm {algorithm}")
 
     stats = _time_fn(run, cfg.warmup_runs, cfg.timed_runs)
     per_batch = B * (4 if algorithm == "imhk" else 1)
+    if algorithm == "peikert":
+        per_batch = min(B, max(1024, 2**28 // (n * 8)))
     return {"algorithm": algorithm, "dimension": n,
             "samples_per_sec": per_batch / stats["p50_s"], **stats}
 

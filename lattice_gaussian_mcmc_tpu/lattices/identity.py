@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from lattice_gaussian_mcmc_tpu.lattices.base import Lattice
 from lattice_gaussian_mcmc_tpu.ops.discrete_gaussian import (
+    sample_dgauss_inverse_cdf,
     sample_dgauss,
     DEFAULT_WINDOW,
 )
@@ -35,7 +36,10 @@ def sample_zn(key, n: int, sigma, center=None, shape=(),
         center = jnp.zeros((n,))
     center = jnp.broadcast_to(center, shape + (n,))
     sig = jnp.broadcast_to(jnp.asarray(sigma, dtype=center.dtype), center.shape)
-    return sample_dgauss(key, center, sig, window)
+    # inverse-CDF: one uniform per draw (Gumbel-max would need `window`
+    # gumbels = 2 logs each per coordinate — ~100x the RNG+transcendental
+    # work at the default window)
+    return sample_dgauss_inverse_cdf(key, center, sig, window)
 
 
 def decode_cvp_zn(target):

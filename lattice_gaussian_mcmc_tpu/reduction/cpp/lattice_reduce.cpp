@@ -7,6 +7,13 @@
 // work, so it stays on the host in C++ and the reduced basis is pushed to
 // device HBM afterwards (SURVEY.md section 2.2).
 //
+// GSO state (mu + r-diagonal) is maintained INCREMENTALLY: O(n) per
+// size-reduction step and per adjacent swap (the classic LLL update
+// formulas), with periodic O(n^3) recomputation from the exact Gram matrix
+// to cancel floating-point drift. The previous version recomputed GSO rows
+// from scratch after every swap, which made n=256 q-ary reductions take
+// minutes; incremental updates bring that to seconds (fplll-style).
+//
 // Exposed C ABI (ctypes):
 //   int lll_reduce(int64_t* basis, int n, double delta);
 //   int bkz_reduce(int64_t* basis, int n, int beta, double delta,
@@ -28,9 +35,10 @@ struct Reducer {
   int n;
   std::vector<std::vector<i64>> b;       // basis rows
   std::vector<std::vector<i128>> G;      // exact Gram matrix
-  std::vector<std::vector<double>> mu;   // GSO coefficients
-  std::vector<std::vector<double>> r;    // r[i][j] = <b_i, b*_j>
-  int valid;                             // rows [0, valid) of mu/r are fresh
+  std::vector<std::vector<double>> mu;   // GSO coefficients (unit diagonal)
+  std::vector<std::vector<double>> r;    // only r[i][i] maintained live;
+                                         // full rows refreshed on recompute
+  long long ops_since_refresh = 0;       // drift guard counter
 
   explicit Reducer(i64* basis, int n_) : n(n_) {
     b.assign(n, std::vector<i64>(n));
@@ -45,30 +53,31 @@ struct Reducer {
       }
     mu.assign(n, std::vector<double>(n, 0.0));
     r.assign(n, std::vector<double>(n, 0.0));
-    valid = 0;
+    recompute_all();
   }
 
-  // Recompute GSO row i from the exact Gram matrix (rows < i must be valid).
-  void compute_row(int i) {
-    for (int j = 0; j <= i; j++) {
-      double rij = (double)G[i][j];
-      for (int l = 0; l < j; l++) rij -= mu[j][l] * r[i][l];
-      r[i][j] = rij;
-      if (j < i) mu[i][j] = r[j][j] != 0.0 ? rij / r[j][j] : 0.0;
+  // Full GSO from the exact Gram matrix (Cholesky-style, O(n^3)).
+  void recompute_all() {
+    for (int i = 0; i < n; i++) {
+      for (int j = 0; j <= i; j++) {
+        double rij = (double)G[i][j];
+        for (int l = 0; l < j; l++) rij -= mu[j][l] * r[i][l];
+        r[i][j] = rij;
+        if (j < i) mu[i][j] = r[j][j] != 0.0 ? rij / r[j][j] : 0.0;
+      }
+      mu[i][i] = 1.0;
     }
-    mu[i][i] = 1.0;
+    ops_since_refresh = 0;
   }
 
-  void ensure(int upto) {  // make rows [0, upto] valid
-    for (int i = valid; i <= upto; i++) compute_row(i);
-    if (upto >= valid) valid = upto + 1;
+  void maybe_refresh() {
+    if (++ops_since_refresh > 16LL * n) recompute_all();
   }
 
-  // b_i -= c * b_j, exact Gram update. O(n).
+  // b_i -= c * b_j (j < i), exact Gram update + O(n) incremental mu update.
   void addmul(int i, int j, i64 c) {
     if (c == 0) return;
     for (int k = 0; k < n; k++) b[i][k] -= c * b[j][k];
-    // G row/col i update: G[i][l] -= c G[j][l]; G[i][i] handled via formula
     i128 c128 = (i128)c;
     i128 gii = G[i][i] - 2 * c128 * G[i][j] + c128 * c128 * G[j][j];
     for (int l = 0; l < n; l++) {
@@ -77,20 +86,59 @@ struct Reducer {
       G[l][i] = G[i][l];
     }
     G[i][i] = gii;
+    // mu row i picks up -c * (mu row j) on columns <= j; b*_i (and all other
+    // b*'s) are unchanged since b_j lies in span(b*_0..b*_j)
+    double cd = (double)c;
+    for (int l = 0; l < j; l++) mu[i][l] -= cd * mu[j][l];
+    mu[i][j] -= cd;
+    // large coefficients multiply existing mu drift by |c| — weight the
+    // refresh counter so deep reductions refresh much sooner
+    double ac = std::fabs(cd);
+    ops_since_refresh += ac > 1024.0 ? 64 : (ac > 16.0 ? 8 : 0);
+    maybe_refresh();
   }
 
-  void swap_rows(int i, int j) {
-    std::swap(b[i], b[j]);
-    std::swap(G[i], G[j]);
-    for (int l = 0; l < n; l++) std::swap(G[l][i], G[l][j]);
+  // Negate row i: flips mu row (cols < i) and mu column (rows > i).
+  void negate_row(int i) {
+    for (int k = 0; k < n; k++) b[i][k] = -b[i][k];
+    for (int l = 0; l < n; l++) {
+      if (l == i) continue;
+      G[i][l] = -G[i][l];
+      G[l][i] = G[i][l];
+    }
+    for (int l = 0; l < i; l++) mu[i][l] = -mu[i][l];
+    for (int l = i + 1; l < n; l++) mu[l][i] = -mu[l][i];
   }
 
-  // Size-reduce row k against rows j < k. Returns false on FP trouble.
+  // Swap adjacent rows k-1 and k with O(n) GSO update (classic formulas).
+  void swap_adjacent(int k) {
+    std::swap(b[k - 1], b[k]);
+    std::swap(G[k - 1], G[k]);
+    for (int l = 0; l < n; l++) std::swap(G[l][k - 1], G[l][k]);
+
+    double nu = mu[k][k - 1];
+    double rk = r[k][k], rk1 = r[k - 1][k - 1];
+    double B = rk + nu * nu * rk1;
+    if (B <= 0.0 || !std::isfinite(B)) { recompute_all(); return; }
+    double mu_new = nu * rk1 / B;
+    r[k][k] = rk1 * rk / B;
+    r[k - 1][k - 1] = B;
+    for (int j = 0; j < k - 1; j++) std::swap(mu[k - 1][j], mu[k][j]);
+    mu[k][k - 1] = mu_new;
+    double rk_over_B = rk / B;
+    for (int i = k + 1; i < n; i++) {
+      double t = mu[i][k - 1], u = mu[i][k];
+      mu[i][k - 1] = t * mu_new + u * rk_over_B;
+      mu[i][k] = t - nu * u;
+    }
+    maybe_refresh();
+  }
+
+  // Size-reduce row k against rows j < k. Returns false on overflow risk.
   bool size_reduce(int k) {
     const double eta = 0.51;
     for (int iter = 0; iter < 64; iter++) {
-      ensure(k);
-      bool any = false;
+      bool any = false, big = false;
       for (int j = k - 1; j >= 0; j--) {
         double m = mu[k][j];
         if (std::fabs(m) > eta) {
@@ -98,43 +146,61 @@ struct Reducer {
           if (std::fabs(rm) > 9.0e18) return false;  // would overflow i64
           addmul(k, j, (i64)rm);
           any = true;
+          if (std::fabs(rm) > 1048576.0) big = true;
         }
       }
       if (!any) return true;
-      valid = k;  // row k stale after basis change
+      // re-reducing means the first pass used drifted mu (or amplified it
+      // with a huge coefficient) — refresh from the exact Gram before the
+      // next pass so the loop converges instead of cycling
+      if (big || iter > 0) recompute_all();
     }
     return true;  // eta-reduction may cycle at FP precision limits; accept
   }
 
-  int lll(double delta) {
-    ensure(0);
+  int lll_pass(double delta) {
     int k = 1;
-    long long guard = 0, guard_max = 4LL * n * n * n + 200000;
+    long long guard = 0, guard_max = 64LL * n * n * n + 1000000;
     while (k < n) {
       if (++guard > guard_max) return 1;
       if (!size_reduce(k)) return 2;
-      ensure(k);
       double lhs = delta * r[k - 1][k - 1];
       double rhs = r[k][k] + mu[k][k - 1] * mu[k][k - 1] * r[k - 1][k - 1];
       if (lhs <= rhs) {
         k++;
       } else {
-        swap_rows(k, k - 1);
-        valid = (k - 1 < valid) ? k - 1 : valid;
+        swap_adjacent(k);
         k = k > 1 ? k - 1 : 1;
       }
     }
     return 0;
   }
 
-  double gs_norm2(int i) {
-    ensure(i);
-    return r[i][i];
+  // Verified LLL: run passes until the output checks out against a fresh
+  // exact-Gram GSO (Lovász + size-reduction), bounding FP-drift escapes.
+  int lll(double delta) {
+    for (int pass = 0; pass < 8; pass++) {
+      int rc = lll_pass(delta);
+      if (rc != 0) return rc;
+      recompute_all();
+      bool ok = true;
+      for (int kk = 1; kk < n && ok; kk++) {
+        double lhs = delta * r[kk - 1][kk - 1];
+        double rhs =
+            r[kk][kk] + mu[kk][kk - 1] * mu[kk][kk - 1] * r[kk - 1][kk - 1];
+        if (lhs > rhs * (1.0 + 1e-9)) ok = false;
+        for (int j = 0; j < kk && ok; j++)
+          if (std::fabs(mu[kk][j]) > 0.52) ok = false;
+      }
+      if (ok) return 0;
+    }
+    return 3;  // persistent FP trouble: caller falls back to Python
   }
+
+  double gs_norm2(int i) { return r[i][i]; }
 };
 
-// Cleaner recursive SE enumeration (depth-first with explicit stack-free
-// zig-zag) — replaces the fiddly loop above for correctness.
+// Schnorr-Euchner enumeration (depth-first zig-zag).
 struct Enumerator {
   int m, j0;
   const std::vector<std::vector<double>>& mu;
@@ -230,11 +296,11 @@ int bkz_reduce(i64* basis, int n, int beta, double delta, int max_tours) {
 
   for (int tour = 0; tour < max_tours; tour++) {
     bool improved = false;
+    red.recompute_all();  // enumeration wants full-accuracy r rows
     for (int j = 0; j < n - 1; j++) {
       int kend = j + beta - 1 < n - 1 ? j + beta - 1 : n - 1;
       int m = kend - j + 1;
       if (m < 2) continue;
-      red.ensure(kend);
       double bound = red.r[j][j];
       // linear pruning for large blocks (finds slightly fewer vectors per
       // tour but explores orders of magnitude fewer nodes at beta >= 25)
@@ -242,43 +308,26 @@ int bkz_reduce(i64* basis, int n, int beta, double delta, int max_tours) {
                     beta >= 25);
       en.run();
       if (en.found) {
-        // insert sum_t x[t] b_{j+t} at position j: build the vector, append
-        // via "insertion by lifting": place combined vector at row j by
-        // integer row ops. Simple approach: create the new vector, put it in
-        // a temporary (n+1)-row basis and LLL the window — here we do the
-        // classic trick: push combination into row j via sequential addmul
-        // on a copy, then re-LLL. For simplicity and robustness: extend
-        // basis with the new vector at j and run LLL to remove the linear
-        // dependency. We emulate by applying unimodular ops when the last
-        // nonzero coefficient is +-1; otherwise skip insertion.
+        // insert sum_t x[t] b_{j+t} at position j when the last nonzero
+        // coefficient is +-1 (unimodular); otherwise skip insertion.
         int last = -1;
         for (int t = m - 1; t >= 0; t--)
           if (std::fabs(en.best[t]) > 0.5) { last = t; break; }
         if (last >= 0 &&
             std::fabs(std::fabs(en.best[last]) - 1.0) < 1e-9) {
           int row = j + last;
-          // b_row <- sum_t x[t] b_{j+t}  (unimodular since x[last] = +-1)
-          if (en.best[last] < 0)
-            for (int kk = 0; kk < n; kk++) red.b[row][kk] = -red.b[row][kk];
-          // Gram update for negation: G row/col sign flip
-          if (en.best[last] < 0) {
-            for (int l = 0; l < n; l++) {
-              red.G[row][l] = -red.G[row][l];
-              red.G[l][row] = red.G[row][l];
-            }
-            red.G[row][row] = -red.G[row][row];  // flipped twice -> restore
-          }
+          if (en.best[last] < 0) red.negate_row(row);
           for (int t = 0; t < last; t++) {
             double xt = en.best[t] * (en.best[last] < 0 ? -1.0 : 1.0);
             // b_row += xt * b_{j+t}  ==  addmul(row, j+t, -xt)
             if (std::fabs(xt) > 0.5)
               red.addmul(row, j + t, (i64)std::nearbyint(-xt));
           }
-          // move row into position j
-          for (int t = row; t > j; t--) red.swap_rows(t, t - 1);
-          red.valid = j < red.valid ? j : red.valid;
+          // move row into position j via adjacent swaps (O(n) GSO updates)
+          for (int t = row; t > j; t--) red.swap_adjacent(t);
           rc = red.lll(delta);
           if (rc != 0) return rc;
+          red.recompute_all();
           improved = true;
         }
       }

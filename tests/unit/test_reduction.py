@@ -108,3 +108,22 @@ def test_cost_model_and_strategy():
 def test_reduction_rejects_non_integer():
     with pytest.raises(ValueError):
         lll_reduce(np.array([[1.5, 0.0], [0.0, 1.0]]))
+
+
+def test_native_lll_quality_qary_128():
+    """Output must be delta-LLL-reduced: size-reduced (|mu| <= 0.52) and
+    Lovasz-satisfying, checked against a fresh f64 GSO. Regression for the
+    FP-drift escape the incremental-GSO rewrite fixed at n >= 256."""
+    from lattice_gaussian_mcmc_tpu.lattices import qary_lattice
+    from lattice_gaussian_mcmc_tpu.reduction import lll_reduce
+
+    lat = qary_lattice(128, 64, q=3329, seed=42)
+    R = lll_reduce(np.asarray(lat.basis), delta=0.99)
+    _, RR = np.linalg.qr(np.asarray(R, dtype=np.float64))
+    rd = np.abs(np.diag(RR))
+    MU = RR.T / np.diag(RR)[None, :]
+    assert np.abs(np.tril(MU, -1)).max() <= 0.52
+    mu_od = np.abs(np.diag(np.tril(MU, -1)[1:, :-1]))
+    lov = (0.99 * rd[:-1] ** 2) <= (rd[1:] ** 2 + mu_od ** 2 * rd[:-1] ** 2) \
+        * (1 + 1e-9)
+    assert lov.all()
