@@ -425,3 +425,78 @@ def imhk_steps_batch_pallas(key: jax.Array, pre: KleinPrecomp, coeffs,
         done += k
         t += 1
     return X, lw, acc.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def babai_decode_batch_pallas(pre: KleinPrecomp, targets: jax.Array,
+                              tile: int = 4096, interpret: bool = False):
+    """Batched Babai nearest-plane on TPU: coeffs (B, n) = round-backward
+    (Q^T targets / r_diag). `targets` (B, n) arbitrary points; B must be a
+    multiple of `tile`. ~10^9 decode-coordinates/s on one v5e chip."""
+    from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import _pad_precomp
+    B = targets.shape[0]
+    assert B % tile == 0, f"batch must be a multiple of {tile}"
+    ppre, n_real = _pad_precomp(pre, BLOCK)
+    n = ppre.U.shape[0]
+    U = ppre.U.astype(jnp.float32)
+    ud = _diag_block_table(U)
+
+    # per-target scaled transformed centers: rows n_real..n are zero
+    basis = pre.basis
+    Qm, Rm = jnp.linalg.qr(basis.astype(jnp.float32))
+    ct = (targets.astype(jnp.float32) @ Qm) / jnp.diagonal(Rm)[None, :]
+    ct_full = jnp.zeros((n, B), jnp.float32).at[:n_real, :].set(ct.T)
+
+    def kernel(u_ref, udk_ref, ct_ref, x_ref, t_ref, z_ref):
+        x_ref[:] = jnp.zeros((n, tile), jnp.float32)
+        nb = n // BLOCK
+        for bi in range(nb - 1, -1, -1):
+            lo, hi = bi * BLOCK, (bi + 1) * BLOCK
+            if hi < n:
+                t_ref[:] = jnp.dot(u_ref[lo:hi, hi:], x_ref[hi:, :],
+                                   preferred_element_type=jnp.float32)
+            else:
+                t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
+
+            def group_body(g, _, *, lo=lo, hi=hi):
+                r8 = pl.multiple_of(BLOCK - GROUP - g * GROUP, GROUP)
+                i8 = pl.multiple_of(lo + r8, GROUP)
+                u8 = u_ref[pl.ds(i8, GROUP), lo:hi]
+                ud8 = udk_ref[pl.ds(i8, GROUP), :]
+                t8 = t_ref[pl.ds(r8, GROUP), :]
+                ct8 = ct_ref[pl.ds(i8, GROUP), :]
+                s8 = jnp.dot(u8, x_ref[lo:hi, :],
+                             preferred_element_type=jnp.float32)
+                for d in range(GROUP - 1, -1, -1):
+                    c = ct8[d:d + 1, :] - t8[d:d + 1, :] - s8[d:d + 1, :]
+                    for dp in range(d + 1, GROUP):
+                        c = c - ud8[d:d + 1, dp:dp + 1] * z_ref[dp:dp + 1, :]
+                    z_ref[d:d + 1, :] = jnp.round(c)
+                x_ref[pl.ds(i8, GROUP), :] = z_ref[:]
+                return 0
+
+            jax.lax.fori_loop(0, BLOCK // GROUP,
+                              lambda g, a: group_body(g, a), 0)
+
+    x = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, GROUP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, tile), jnp.float32),
+            pltpu.VMEM((GROUP, tile), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(U, ud, ct_full)
+    return x[:n_real, :].T

@@ -90,3 +90,21 @@ def test_fused_imhk_hardware_hard_regime():
     assert tvd_dicts(empirical_dist(X12), target) < 0.005
     acc_rate = float(jnp.sum(acc)) / (B * 12)
     assert abs(acc_rate - 0.9904) < 0.01
+
+
+def test_babai_pallas_matches_xla(key, rng):
+    """Batched Babai kernel (interpret mode) == the XLA nearest-plane."""
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        babai_decode_batch_pallas)
+    from lattice_gaussian_mcmc_tpu.ops.linalg import babai_nearest_plane
+    B8 = np.triu(rng.integers(-3, 4, (8, 8))).astype(float) + \
+        np.diag([5.0] * 8)
+    lat = lattice_from_basis(B8, dtype=jnp.float32)
+    pre = klein_precompute(lat, 8.0)
+    targets = jnp.asarray(rng.normal(scale=20.0, size=(256, 8)),
+                          dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        Xp = babai_decode_batch_pallas(pre, targets, tile=128, interpret=True)
+    Xx = jax.vmap(lambda t: babai_nearest_plane(lat.Q, lat.R, t))(
+        targets.astype(lat.Q.dtype))
+    np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xx), atol=1e-5)
