@@ -33,7 +33,7 @@ Hardware validation (v5e, hw PRNG, basis [[1,.5],[0,1]], sigma=0.35,
 fused IMHK steps reach the target at TVD 0.0006 with acceptance 0.9904 —
 exactly the enumerated stationary acceptance 0.9904
 (tests/unit/test_klein_pallas.py::test_fused_imhk_hardware_hard_regime).
-Throughput: 7.34M fused IMHK samples/s at n=512 NTRU (dim 1024), 524288
+Throughput: 7.38M fused IMHK samples/s at n=512 NTRU (dim 1024), 524288
 chains, tile=4096: wide tiles amortize the per-row latency of the
 sequential backward substitution; cs/isg are stored (n, 128) and lane-splat
 in-kernel so VMEM goes to chain state (vmem_limit raised to 100 MB, far
@@ -115,9 +115,17 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
             .astype(jnp.float32) - window // 2)
 
 
-    def sample_row(c, isg_row, row_index):
-        """Draw `tile` variates around centers c (1, tile); isg_row (1, tile).
-        Returns (z, logZ) each (1, tile)."""
+    def uniform_block(shape):
+        # mantissa trick (no uint32->f32 cast in Mosaic): 23 random
+        # mantissa bits | exponent(1.0) -> [1, 2); minus 1 -> [0, 1)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+        mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
+        fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
+        return pltpu.bitcast(fbits, jnp.float32) - 1.0
+
+    def sample_row(c, isg_row, u01):
+        """Draw `tile` variates around centers c (1, tile); isg_row (1, tile);
+        u01 (1, tile) uniforms. Returns (z, logZ) each (1, tile)."""
         base = jnp.round(c)
         support = base + offs                     # (window, tile)
         zsc = (support - c) * isg_row             # sublane broadcasts only
@@ -130,15 +138,6 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
         w = jnp.exp(logits - m)
         cdf = jnp.dot(tril, w, preferred_element_type=jnp.float32)
         total = cdf[window - 1:window, :]
-        if host_rng:
-            u01 = unif_ref[pl.ds(row_index, 1), :]
-        else:
-            # mantissa trick (no uint32->f32 cast in Mosaic): 23 random
-            # mantissa bits | exponent(1.0) -> [1, 2); minus 1 -> [0, 1)
-            bits = pltpu.bitcast(pltpu.prng_random_bits((1, tile)), jnp.int32)
-            mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
-            fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
-            u01 = pltpu.bitcast(fbits, jnp.float32) - 1.0
         target = u01 * total
         idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
                       keepdims=True)
@@ -178,6 +177,11 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
                                               (GROUP, tile))
                 cs8 = c8_ref[:]
                 isg8 = is8_ref[:]
+                # one PRNG/VMEM access per group instead of one per row
+                if host_rng:
+                    un8 = unif_ref[pl.ds(i8, GROUP), :]
+                else:
+                    un8 = uniform_block((GROUP, tile))
 
                 # tail within block from rows already written: out_ref[lo:hi]
                 # is constant during this group (the group's own rows are
@@ -190,7 +194,8 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
                     c = cs8[d:d + 1, :] - t8[d:d + 1, :] - s8[d:d + 1, :]
                     for dp in range(d + 1, GROUP):
                         c = c - ud8[d:d + 1, dp:dp + 1] * z_ref[dp:dp + 1, :]
-                    z, logZ = sample_row(c, isg8[d:d + 1, :], i8 + d)
+                    z, logZ = sample_row(c, isg8[d:d + 1, :],
+                                         un8[d:d + 1, :])
                     z_ref[d:d + 1, :] = z
                     lw = lw + logZ
                 out_ref[pl.ds(i8, GROUP), :] = z_ref[:]
@@ -208,11 +213,7 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
             lw_st, acc_st = carry
             lw_prop = propose(p_ref)
             # Metropolis accept: u ~ U(0,1); accept iff log u < lw_new - old
-            bits = pltpu.bitcast(pltpu.prng_random_bits((1, tile)), jnp.int32)
-            mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
-            fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
-            u01 = pltpu.bitcast(fbits, jnp.float32) - 1.0
-            u01 = jnp.maximum(u01, 1e-30)
+            u01 = jnp.maximum(uniform_block((1, tile)), 1e-30)
             accept = jnp.log(u01) < (lw_prop - lw_st)      # (1, tile)
             x_ref[:] = jnp.where(accept, p_ref[:], x_ref[:])
             lw_st = jnp.where(accept, lw_prop, lw_st)
