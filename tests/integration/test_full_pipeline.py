@@ -117,3 +117,44 @@ def test_sigma_adaptation(key):
     first_acc = st.history[0]["acceptance"]
     assert final_acc >= first_acc - 0.02  # moves toward (or stays at) target
     assert st.sigma > 0
+
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_identity_2d.json")
+
+
+def test_golden_file_metrics(key):
+    """Golden-file comparison (reference integration/test_full_pipeline.py:547):
+    a fixed-seed 2D identity pipeline must reproduce stored summary metrics
+    within statistical tolerance. Regenerate by deleting the golden file and
+    rerunning."""
+    import json
+    from lattice_gaussian_mcmc_tpu.lattices import identity_lattice
+    from lattice_gaussian_mcmc_tpu.samplers import (
+        IMHKSampler,
+        klein_precompute,
+        klein_sample_batch,
+    )
+    from lattice_gaussian_mcmc_tpu.diagnostics import effective_sample_size
+
+    lat = identity_lattice(2, dtype=jnp.float64)
+    sigma = 2.0
+    pre = klein_precompute(lat, sigma)
+    coeffs, lw = klein_sample_batch(jax.random.key(7), pre, 20_000)
+    s = IMHKSampler(lat, sigma)
+    chain = s.sample(jax.random.key(8), 2_000)
+    metrics = {
+        "klein_mean_abs": float(jnp.abs(jnp.mean(coeffs))),
+        "klein_std": float(jnp.std(coeffs)),
+        "imhk_acceptance": float(s.acceptance_rate),
+        "imhk_ess_frac": float(
+            effective_sample_size(chain[:, 0]) / chain.shape[0]),
+    }
+    if not os.path.exists(GOLDEN):
+        with open(GOLDEN, "w") as f:
+            json.dump(metrics, f, indent=2)
+        pytest.skip("golden file regenerated; rerun to compare")
+    gold = json.load(open(GOLDEN))
+    assert abs(metrics["klein_std"] - gold["klein_std"]) < 0.05
+    assert metrics["klein_mean_abs"] < 0.05
+    assert abs(metrics["imhk_acceptance"] - gold["imhk_acceptance"]) < 0.05
+    assert metrics["imhk_ess_frac"] > 0.5 * gold["imhk_ess_frac"]
