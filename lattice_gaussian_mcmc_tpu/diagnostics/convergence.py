@@ -151,4 +151,9 @@ def ks_2sample(x, y):
     lam = (en + 0.12 + 0.11 / en) * d  # Stephens' small-sample correction
     k = jnp.arange(1, 33, dtype=x.dtype)
     p = 2.0 * jnp.sum((-1.0) ** (k - 1) * jnp.exp(-2.0 * (k * lam) ** 2))
+    # The truncated alternating series diverges from the true survival
+    # function as lam -> 0 (at lam=0 every term is 1 and the even-length
+    # truncation sums to 0 — the exact inversion of the true p=1). For
+    # lam < 0.3 the true Q(lam) is 1 to within ~1e-9, so short-circuit.
+    p = jnp.where(lam < 0.3, 1.0, p)
     return d, jnp.clip(p, 0.0, 1.0)

@@ -63,6 +63,13 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
     B = cfg.n_chains
     n_samples = cfg.n_samples
 
+    if algorithm == "peikert" and n > 256:
+        # Peikert needs sigma >= r*s1(B); on unreduced q-ary bases at these
+        # dims that forces a degenerate (clamped) 1D window — not a
+        # meaningful cell (the reference has no Peikert bench). Bail before
+        # paying lattice construction + native LLL (~94 s at n=512).
+        return None
+
     if algorithm == "direct":
         lat = identity_lattice(n, dtype=dtype)
         sigma = 5.0
@@ -91,12 +98,15 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
             lat = lattice_from_basis(lll_reduce(np.asarray(lat.basis)),
                                      name=lat.name + "-lll", dtype=dtype)
         sigma = 1.5 * float(jnp.max(lat.gs_norms))
+    peikert_batch = None
     if algorithm != "direct":
         pre = klein_precompute(lat, sigma)
-        # speed-of-light Pallas path on TPU; blocked XLA elsewhere
-        use_pallas = pallas_supported()
-        tile = max(t for t in (256, 512, 1024, 2048, 4096) if B % t == 0) \
-            if use_pallas else None
+        # speed-of-light Pallas path on TPU; blocked XLA elsewhere. A batch
+        # no tile divides falls back to the blocked XLA path rather than
+        # crashing on max() of an empty sequence.
+        tile = max((t for t in (256, 512, 1024, 2048, 4096) if B % t == 0),
+                   default=0)
+        use_pallas = pallas_supported() and tile > 0
         if algorithm == "klein":
             if use_pallas:
                 def run(k=key):
@@ -118,11 +128,6 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
                     return imhk_steps_batch_blocked(k, pre, X0, lw0, 4,
                                                     cfg.block)
         elif algorithm == "peikert":
-            if n > 256:
-                # Peikert needs sigma >= r*s1(B); on unreduced q-ary bases at
-                # these dims that forces a degenerate (clamped) 1D window —
-                # not a meaningful cell (the reference has no Peikert bench)
-                return None
             try:
                 s = PeikertSampler(lat, 2.0 * sigma *
                                    float(jnp.linalg.norm(lat.basis, ord=2)) /
@@ -131,17 +136,17 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
                 return None
             # randomized rounding materializes (B, n, window) logits; cap the
             # batch so that stays under ~1 GB of HBM
-            Bp = min(B, max(1024, 2**28 // (n * 8)))
+            peikert_batch = min(B, max(1024, 2**28 // (n * 8)))
 
-            def run(k=key, s=s, Bp=Bp):
+            def run(k=key, s=s, Bp=peikert_batch):
                 return s.sample(k, Bp, return_coeffs=True)
         else:
             raise ValueError(f"unknown algorithm {algorithm}")
 
     stats = _time_fn(run, cfg.warmup_runs, cfg.timed_runs)
     per_batch = B * (4 if algorithm == "imhk" else 1)
-    if algorithm == "peikert":
-        per_batch = min(B, max(1024, 2**28 // (n * 8)))
+    if peikert_batch is not None:
+        per_batch = peikert_batch
     return {"algorithm": algorithm, "dimension": n,
             "samples_per_sec": per_batch / stats["p50_s"], **stats}
 

@@ -14,6 +14,7 @@ from lattice_gaussian_mcmc_tpu.lattices.qary import (  # noqa: F401
     rlwe_lattice,
     module_lattice,
     estimate_bkz_security,
+    estimate_security_from_lattice,
     hnf,
     lattice_volume_qary,
     falcon_parameters,

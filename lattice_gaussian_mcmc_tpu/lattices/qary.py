@@ -145,13 +145,20 @@ def _root_hermite(beta: float) -> float:
 
 
 def estimate_bkz_security(n: int, q: int, sigma: float,
-                          max_beta: int = 1000) -> Dict[str, float]:
+                          max_beta: int = 1000, k: Optional[int] = None,
+                          log_det: Optional[float] = None) -> Dict[str, float]:
     """Core-SVP hardness of the (primal uSVP) attack against an n-dim q-ary
     lattice with error width sigma: find the smallest BKZ block size beta
     whose root-Hermite factor makes the attack succeed, then report classical
     2^{0.292 beta} and quantum 2^{0.265 beta} costs (+16.4 fudge, the
-    ADPS16/BDGL16 models the reference cites at qary.py:194-262)."""
-    log_det = (n / 2) * math.log(q)  # det = q^{n/2} for balanced k = n/2
+    ADPS16/BDGL16 models the reference cites at qary.py:194-262).
+
+    The determinant is instance-aware: pass `log_det` directly, or `k` (the
+    number of modular constraints, det = q^k); only with neither does it fall
+    back to the balanced k = n/2 assumption.
+    """
+    if log_det is None:
+        log_det = (n / 2 if k is None else k) * math.log(q)
     best_beta = max_beta
     for beta in range(50, max_beta):
         delta = _root_hermite(beta)
@@ -167,7 +174,34 @@ def estimate_bkz_security(n: int, q: int, sigma: float,
         "classical_bits": 0.292 * best_beta + 16.4,
         "quantum_bits": 0.265 * best_beta + 16.4,
         "root_hermite": _root_hermite(best_beta),
+        "log2_det": log_det / math.log(2.0),
     }
+
+
+def estimate_security_from_lattice(lattice, sigma: float,
+                                   max_beta: int = 1000) -> Dict[str, float]:
+    """Instance-aware core-SVP estimate from a concrete Lattice: the
+    determinant comes from the lattice itself (meta (k, q) when present,
+    otherwise sum log ||b*_i|| of the actual Gram-Schmidt profile), matching
+    the reference's per-instance estimates (qary.py:194-262,450-491).
+
+    Cross-check: an NTRU/FALCON-512 instance (dim 1024, det q^512, key
+    sigma ~ 1.17 sqrt(q/2n) ~ 4.05) lands at ~108 classical bits.
+    """
+    import numpy as np
+    n = int(lattice.n)
+    meta = getattr(lattice, "meta", None) or {}
+    q = int(meta.get("q", 0))
+    if q and "k" in meta:
+        log_det = float(meta["k"]) * math.log(q)
+    elif q and meta.get("kind") in ("ntru", "rlwe"):
+        # det = q^{ring_n} for [[qI, Rot(h)], [0, I]]-shaped bases
+        log_det = float(meta.get("ring_n", n // 2)) * math.log(q)
+    else:
+        log_det = float(np.sum(np.log(np.asarray(lattice.gs_norms,
+                                                 dtype=np.float64))))
+    return estimate_bkz_security(n, q or 2, sigma, max_beta=max_beta,
+                                 log_det=log_det)
 
 
 def falcon_parameters(variant: int = 512) -> Dict[str, float]:

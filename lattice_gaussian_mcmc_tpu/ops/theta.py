@@ -105,7 +105,11 @@ def log_riemann_theta(basis, sigma, center=None, radius: int = 4):
                         indexing="ij")
     coeffs = jnp.asarray(
         np.stack([g.ravel() for g in grids], axis=-1), dtype=B.dtype)
-    pts = coeffs @ B  # ((2r+1)^n, n) lattice points
+    # Repo convention: a lattice point is B @ x (columns of B are basis
+    # vectors, matching `klein_points`); for row-stacked coefficient vectors
+    # that is coeffs @ B.T, NOT coeffs @ B (which would enumerate B^T's
+    # lattice — wrong for non-symmetric bases).
+    pts = coeffs @ B.T  # ((2r+1)^n, n) lattice points
     if center is not None:
         pts = pts - jnp.asarray(center, dtype=B.dtype)
     sq = jnp.sum(pts * pts, axis=-1)

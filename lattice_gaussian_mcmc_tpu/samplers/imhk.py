@@ -225,17 +225,21 @@ class IMHKSampler:
                return_coeffs: bool = False, backend: str = "auto"):
         """Returns (num_samples*n_chains, n) lattice points (or coeffs).
 
-        backend: "auto" uses the fused Pallas kernel on TPU when the batch is
-        one step per chain (num_samples draws = num_samples chains advanced
-        burn_in+thin steps each); "xla" forces the scan paths; "pallas"
-        requires TPU."""
-        from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
-            pallas_supported)
-        use_pallas = (backend == "pallas" or
-                      (backend == "auto" and pallas_supported() and
-                       n_chains == 1 and num_samples >= 1024))
-        if use_pallas:
-            return self._sample_pallas(key, num_samples, thin, return_coeffs)
+        Always trajectory semantics: `num_samples` sequential (thinned)
+        states per chain, so time-series diagnostics (ACF, tau_int, ESS) on
+        the output are meaningful and `_last_state` supports chain resume.
+        backend "auto"/"xla" run the lax.scan paths; backend "pallas" is
+        rejected here — the fused TPU kernel returns final states of
+        independent chains (different statistical structure), which is the
+        opt-in `sample_iid` method.
+        """
+        if backend == "pallas":
+            raise ValueError(
+                "backend='pallas' returns i.i.d.-like final states of "
+                "independent chains, not a Markov-chain trajectory; call "
+                "sample_iid() explicitly for that semantics")
+        if backend not in ("auto", "xla"):
+            raise ValueError(f"unknown backend {backend!r}")
         if n_chains == 1:
             coeffs, log_ws, state = imhk_chain(key, self.pre, num_samples,
                                                thin, self.burn_in)
@@ -252,26 +256,52 @@ class IMHKSampler:
             return coeffs
         return klein_points(self.pre.basis, coeffs)
 
-    def _sample_pallas(self, key, num_samples: int, thin: int,
-                       return_coeffs: bool):
-        """Fused-kernel path: run `num_samples` chains in parallel, advance
-        each burn_in + thin steps, and return the final states — i.i.d.-like
-        draws at ~7M steps/s on NTRU-512 (one v5e chip). Statistically this
-        trades the single-chain autocorrelated stream for independent chains
-        (strictly better ESS at equal step count)."""
+    def sample_iid(self, key, num_samples: int, n_steps: Optional[int] = None,
+                   return_coeffs: bool = False, backend: str = "auto"):
+        """Run `num_samples` INDEPENDENT chains, advance each `n_steps`
+        (default burn_in) IMHK steps, return the final states.
+
+        This is the fused-Pallas fast path (~7M steps/s on NTRU-512 on one
+        v5e chip). The output is an i.i.d.-like batch — strictly better ESS
+        than a trajectory at equal step count, but meaningless for
+        autocorrelation/tau_int diagnostics; `_last_state` is set to None
+        because there is no single chain to resume. backend "auto" falls
+        back to a vmapped XLA scan off-TPU or for non-tileable batches;
+        backend "pallas" raises instead of silently falling back.
+        """
         from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
             imhk_steps_batch_pallas,
             klein_sample_batch_pallas,
+            pallas_supported,
         )
-        tile = max(t for t in (256, 512, 1024, 2048, 4096)
-                   if num_samples % t == 0) if num_samples % 256 == 0 else 0
-        if tile == 0:  # batch not tileable: fall back to XLA scan
-            return self.sample(key, num_samples, thin=thin,
-                               return_coeffs=return_coeffs, backend="xla")
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        n_steps = self.burn_in if n_steps is None else int(n_steps)
+        n_steps = max(1, n_steps)
+        tile = max((t for t in (256, 512, 1024, 2048, 4096)
+                    if num_samples % t == 0), default=0)
+        if backend == "pallas" and not pallas_supported():
+            raise RuntimeError("backend='pallas' requires a TPU backend")
+        if backend == "pallas" and tile == 0:
+            raise ValueError(
+                f"backend='pallas' needs num_samples divisible by 256, got "
+                f"{num_samples}; pad the batch or use backend='xla'")
+        if backend == "xla" or tile == 0 or not pallas_supported():
+            # burn_in = n_steps-1 plus the single recorded thin step
+            # = n_steps post-init IMHK steps, matching the kernel path.
+            coeffs, _, state = imhk_chains(key, self.pre, num_samples,
+                                           n_samples=1, thin=1,
+                                           burn_in=n_steps - 1)
+            coeffs = coeffs.reshape(num_samples, self.lattice.n)
+            self.acceptance_rate = float(jnp.sum(state.accepted) /
+                                         jnp.maximum(jnp.sum(state.steps), 1))
+            self._last_state = None
+            if return_coeffs:
+                return coeffs
+            return klein_points(self.pre.basis, coeffs)
         k0, k1 = jax.random.split(jax.random.fold_in(key, 0x9a11a5))
         coeffs, lw = klein_sample_batch_pallas(k0, self.pre, num_samples,
                                                tile=tile)
-        n_steps = max(1, self.burn_in + thin - 1)
         coeffs, lw, acc = imhk_steps_batch_pallas(k1, self.pre, coeffs, lw,
                                                   n_steps, tile=tile)
         self.acceptance_rate = float(jnp.sum(acc) /

