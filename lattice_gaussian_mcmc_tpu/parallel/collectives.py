@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lattice_gaussian_mcmc_tpu.parallel.mesh import CHAIN_AXIS
+from lattice_gaussian_mcmc_tpu.parallel.runtime import put_global
 from lattice_gaussian_mcmc_tpu.samplers.imhk import imhk_chain
 from lattice_gaussian_mcmc_tpu.samplers.klein import klein_sample
 from lattice_gaussian_mcmc_tpu.utils.prng import chain_keys
@@ -32,7 +33,7 @@ def sharded_klein_batch(key, pre, n_samples: int, mesh: Mesh):
 
     f = jax.shard_map(local, mesh=mesh, in_specs=P(CHAIN_AXIS),
                       out_specs=P(CHAIN_AXIS), check_vma=False)
-    keys = jax.device_put(keys, NamedSharding(mesh, P(CHAIN_AXIS)))
+    keys = put_global(keys, mesh, P(CHAIN_AXIS))
     return jax.jit(f)(keys)
 
 
@@ -78,7 +79,7 @@ def sharded_imhk_chains(key, pre, n_chains: int, n_samples: int, mesh: Mesh,
                    {"acceptance_rate": P(), "mean": P(), "std": P(),
                     "n_total": P()}),
         check_vma=False)
-    keys = jax.device_put(keys, NamedSharding(mesh, P(CHAIN_AXIS)))
+    keys = put_global(keys, mesh, P(CHAIN_AXIS))
     return jax.jit(f)(keys)
 
 
@@ -162,5 +163,5 @@ def sharded_imhk_blocked(key, pre, n_chains: int, n_steps: int, mesh: Mesh,
     f = jax.shard_map(local, mesh=mesh, in_specs=P(CHAIN_AXIS),
                       out_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P()),
                       check_vma=False)
-    dev_keys = jax.device_put(dev_keys, NamedSharding(mesh, P(CHAIN_AXIS)))
+    dev_keys = put_global(dev_keys, mesh, P(CHAIN_AXIS))
     return jax.jit(f)(dev_keys)

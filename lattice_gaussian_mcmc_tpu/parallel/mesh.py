@@ -42,6 +42,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_chain_keys(key: jax.Array, n_chains: int, mesh: Mesh) -> jax.Array:
     """(n_chains,) keys, chain-indexed (mesh-shape independent), placed with
     the chain axis sharded over the mesh."""
+    from lattice_gaussian_mcmc_tpu.parallel.runtime import put_global
     from lattice_gaussian_mcmc_tpu.utils.prng import chain_keys
     keys = chain_keys(key, n_chains)
-    return jax.device_put(keys, chain_spec(mesh))
+    return put_global(keys, mesh, P(CHAIN_AXIS))

@@ -1,0 +1,329 @@
+"""Statistical validation of the f32 Pallas IMHK kernel at production
+dimension: NTRU-512 (dim 1024), Pallas-f32-on-TPU vs the f64 XLA path.
+
+This is the proof behind the flagship benchmark number (bench.py): the two
+paths implement the same law (windowed Klein proposal + IMHK accept), so at
+matched window their sample statistics must agree up to Monte-Carlo error.
+Checks, per sigma regime (smooth = FALCON-512 sigma, hard = 0.8*max||b*||):
+
+  1. per-coordinate moments: mean/std of Pallas-f32 draws vs f64 draws,
+     z-scored by the two-sample standard error — >=99% of the 1024
+     coordinates within 3 SE and all within 6 SE (reference methodology:
+     /root/reference/tests/integration/test_full_pipeline.py:126-144).
+  2. log-weight law: two-sample KS between the f32 and f64 IMHK importance
+     log-weights, p > 0.01, plus mean agreement within 4 SE. log w = sum of
+     1024 per-coordinate log-normalizers, so this is the statistic most
+     sensitive to f32 accumulation error.
+  3. IMHK acceptance: 16-step fused-Pallas acceptance vs 16-step f64 XLA
+     acceptance within max(0.01, 4 * binomial SE).
+  4. f32 conditional-mean error bound (deterministic, not statistical): for
+     actual Pallas draws x, the backward-substitution inputs
+     c_i = cs_i - sum_{j>i} U_ij x_j are recomputed in f32 and f64; report
+     max_i |c_f32 - c_f64| / sigma_i. The conditional law at coordinate i is
+     perturbed by at most ~(err/sigma_i) * window/2 in log-density, so this
+     number bounds the per-coordinate law distortion directly.
+
+Process layout: the TPU Pallas phase runs in the main process with default
+(f32) precision — the Mosaic kernel does not lower under jax_enable_x64.
+The f64 XLA reference phase runs in a CPU subprocess (`--cpu-phase`) with
+x64 on; arrays are exchanged via npz. Writes
+results/pallas_validation/validation.json; exits nonzero on gate failure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# CPU f64 subprocess phase
+# --------------------------------------------------------------------------
+
+def cpu_phase(out_npz: str, n_ring: int, sigma: float, window: int,
+              n_klein: int, n_chains: int, n_steps: int, seed: int) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from lattice_gaussian_mcmc_tpu.lattices import ntru_lattice
+    from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+    from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
+        imhk_steps_batch_blocked,
+        klein_sample_batch_blocked,
+    )
+
+    lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
+                       dtype=jnp.float64)
+    pre = klein_precompute(lat, sigma, window=window)
+    key = jax.random.key(seed + 1000)
+    t0 = time.perf_counter()
+    X, lw = klein_sample_batch_blocked(key, pre, n_klein, 128)
+    X, lw = jax.block_until_ready((X, lw))
+    t_klein = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Xs, lws, acc = imhk_steps_batch_blocked(
+        jax.random.fold_in(key, 1), pre, X[:n_chains], lw[:n_chains],
+        n_steps, 128)
+    Xs, lws, acc = jax.block_until_ready((Xs, lws, acc))
+    t_imhk = time.perf_counter() - t0
+    np.savez_compressed(
+        out_npz,
+        klein_coeffs=np.asarray(X), klein_log_w=np.asarray(lw),
+        imhk_coeffs=np.asarray(Xs), imhk_log_w=np.asarray(lws),
+        acc_total=np.asarray(acc).sum(),
+        n_chains=n_chains, n_steps=n_steps,
+        t_klein_s=t_klein, t_imhk_s=t_imhk,
+        U=np.asarray(pre.U), cs=np.asarray(pre.cs),
+        sigmas=np.asarray(pre.sigmas), max_gs=float(jnp.max(lat.gs_norms)))
+
+
+def run_cpu_phase(tmp: str, name: str, **kw) -> dict:
+    out = os.path.join(tmp, f"cpu_{name}.npz")
+    args = [sys.executable, os.path.abspath(__file__), "--cpu-phase", out]
+    args += [f"{k}={v}" for k, v in kw.items()]
+    r = subprocess.run(args, cwd=REPO, capture_output=True, text=True,
+                       timeout=3000)
+    if r.returncode != 0:
+        raise RuntimeError(f"cpu phase failed:\n{r.stdout}\n{r.stderr}")
+    d = dict(np.load(out))
+    d["acceptance"] = float(d["acc_total"]) / (int(d["n_chains"])
+                                               * int(d["n_steps"]))
+    return d
+
+
+# --------------------------------------------------------------------------
+# TPU Pallas phase (main process, x64 OFF)
+# --------------------------------------------------------------------------
+
+def tpu_pallas_run(pre32, n_samples, n_steps, tile, seed):
+    import jax
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        imhk_steps_batch_pallas,
+        klein_sample_batch_pallas,
+    )
+    key = jax.random.key(seed)
+    t0 = time.perf_counter()
+    X, lw = klein_sample_batch_pallas(key, pre32, n_samples, tile=tile)
+    X, lw = jax.block_until_ready((X, lw))
+    t_klein = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Xs, lws, acc = imhk_steps_batch_pallas(jax.random.fold_in(key, 1), pre32,
+                                           X, lw, n_steps, tile=tile)
+    Xs, lws, acc = jax.block_until_ready((Xs, lws, acc))
+    t_imhk = time.perf_counter() - t0
+    return {
+        "klein_coeffs": np.asarray(X), "klein_log_w": np.asarray(lw),
+        "imhk_coeffs": np.asarray(Xs), "imhk_log_w": np.asarray(lws),
+        "acceptance": float(np.sum(np.asarray(acc))) / (n_samples * n_steps),
+        "n_chains": n_samples, "n_steps": n_steps,
+        "t_klein_s": t_klein, "t_imhk_s": t_imhk,
+    }
+
+
+# --------------------------------------------------------------------------
+# numpy comparisons
+# --------------------------------------------------------------------------
+
+def moment_check(Xa, Xb):
+    """Per-coordinate z-scores of mean/std differences between two sample
+    sets; returns gate dict."""
+    na, nb = Xa.shape[0], Xb.shape[0]
+    ma, mb = Xa.mean(0), Xb.mean(0)
+    va, vb = Xa.var(0), Xb.var(0)
+    se_mean = np.sqrt(va / na + vb / nb)
+    z_mean = np.abs(ma - mb) / np.maximum(se_mean, 1e-12)
+    # SE of the std estimate ~ std / sqrt(2(N-1)) (normal approx)
+    se_std = np.sqrt(va / (2 * (na - 1)) + vb / (2 * (nb - 1)))
+    z_std = np.abs(np.sqrt(va) - np.sqrt(vb)) / np.maximum(se_std, 1e-12)
+    frac3_mean = float(np.mean(z_mean < 3.0))
+    frac3_std = float(np.mean(z_std < 3.0))
+    return {
+        "frac_mean_within_3se": frac3_mean,
+        "frac_std_within_3se": frac3_std,
+        "max_z_mean": float(z_mean.max()),
+        "max_z_std": float(z_std.max()),
+        "passed": bool(frac3_mean >= 0.99 and frac3_std >= 0.99
+                       and z_mean.max() < 6.0 and z_std.max() < 6.0),
+    }
+
+
+def ks_2sample_np(x, y):
+    """Two-sample KS (numpy mirror of diagnostics.convergence.ks_2sample,
+    including the small-lambda shortcut)."""
+    x, y = np.sort(x), np.sort(y)
+    allv = np.concatenate([x, y])
+    cx = np.searchsorted(x, allv, side="right") / len(x)
+    cy = np.searchsorted(y, allv, side="right") / len(y)
+    D = np.max(np.abs(cx - cy))
+    ne = len(x) * len(y) / (len(x) + len(y))
+    lam = (np.sqrt(ne) + 0.12 + 0.11 / np.sqrt(ne)) * D
+    if lam < 0.3:
+        return float(D), 1.0
+    k = np.arange(1, 33)
+    p = 2 * np.sum((-1.0) ** (k - 1) * np.exp(-2 * (k * lam) ** 2))
+    return float(D), float(min(max(p, 0.0), 1.0))
+
+
+def ks_check(lw_a, lw_b):
+    D, p = ks_2sample_np(lw_a.astype(np.float64), lw_b.astype(np.float64))
+    na, nb = len(lw_a), len(lw_b)
+    se = np.sqrt(lw_a.var() / na + lw_b.var() / nb)
+    z_mean = abs(lw_a.mean() - lw_b.mean()) / se
+    return {
+        "ks_D": D, "ks_p": p,
+        "mean_f32": float(lw_a.mean()), "mean_f64": float(lw_b.mean()),
+        "std_f32": float(lw_a.std()), "std_f64": float(lw_b.std()),
+        "z_mean": float(z_mean),
+        "passed": bool(p > 0.01 and z_mean < 4.0),
+    }
+
+
+def acceptance_check(res_tpu, res_cpu):
+    a_p, a_c = res_tpu["acceptance"], res_cpu["acceptance"]
+    # conservative SE: treat each chain (not each step) as one observation
+    se = np.sqrt(a_c * (1 - a_c) / int(res_cpu["n_chains"])
+                 + a_p * (1 - a_p) / int(res_tpu["n_chains"]))
+    gate = max(0.01, 4.0 * se)
+    return {
+        "acceptance_pallas_f32": a_p, "acceptance_xla_f64": a_c,
+        "abs_diff": abs(a_p - a_c), "gate": gate,
+        "passed": bool(abs(a_p - a_c) < gate),
+    }
+
+
+def f32_cond_mean_error(U64, cs64, sig64, window, X, n_check=1024):
+    """Deterministic f32-accumulation error on the backward-substitution
+    inputs c_i = cs_i - sum_{j>i} U_ij x_j, evaluated at actual draws."""
+    Xs = X[:n_check].astype(np.float64)
+    # c_i as the kernel computes it (full row dot; U has unit diagonal, so
+    # adding x_i back removes the self term)
+    C64 = cs64[None, :] - Xs @ U64.T + Xs
+    C32 = (cs64.astype(np.float32)[None, :]
+           - Xs.astype(np.float32) @ U64.astype(np.float32).T
+           + Xs.astype(np.float32)).astype(np.float64)
+    err = np.abs(C64 - C32)
+    rel = err / sig64[None, :]
+    return {
+        "max_abs_err": float(err.max()),
+        "max_err_over_sigma": float(rel.max()),
+        "mean_err_over_sigma": float(rel.mean()),
+        # a c-perturbation of eps*sigma_i shifts per-coordinate log-density
+        # by <= eps * window/2 (Lipschitz bound on the windowed logits)
+        "log_density_distortion_bound": float(rel.max() * window / 2),
+        "passed": bool(rel.max() < 1e-3),
+    }
+
+
+def validate_regime(name, sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps,
+                    seed):
+    from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+    pre32 = klein_precompute(lat32, sigma)
+    window = pre32.window
+    print(f"[{name}] sigma={sigma:.2f} window={window} "
+          f"n_tpu={n_tpu} n_cpu={n_cpu}", flush=True)
+    res_tpu = tpu_pallas_run(pre32, n_tpu, n_steps, tile=4096, seed=seed)
+    print(f"[{name}] pallas: klein {res_tpu['t_klein_s']:.1f}s, "
+          f"imhk {res_tpu['t_imhk_s']:.1f}s, "
+          f"acc={res_tpu['acceptance']:.4f}", flush=True)
+    res_cpu = run_cpu_phase(tmp, name, n_ring=n_ring, sigma=sigma,
+                            window=window, n_klein=n_cpu,
+                            n_chains=max(n_cpu // 4, 512), n_steps=n_steps,
+                            seed=seed)
+    print(f"[{name}] f64 xla: klein {float(res_cpu['t_klein_s']):.1f}s, "
+          f"imhk {float(res_cpu['t_imhk_s']):.1f}s, "
+          f"acc={res_cpu['acceptance']:.4f}", flush=True)
+
+    out = {
+        "sigma": float(sigma),
+        "window": int(window),
+        "n_pallas": n_tpu, "n_f64": n_cpu, "n_steps": n_steps,
+        "moments_klein": moment_check(res_tpu["klein_coeffs"],
+                                      res_cpu["klein_coeffs"]),
+        "moments_imhk": moment_check(res_tpu["imhk_coeffs"],
+                                     res_cpu["imhk_coeffs"]),
+        "log_weights": ks_check(res_tpu["klein_log_w"],
+                                res_cpu["klein_log_w"]),
+        "acceptance": acceptance_check(res_tpu, res_cpu),
+        "f32_cond_mean": f32_cond_mean_error(
+            res_cpu["U"], res_cpu["cs"], res_cpu["sigmas"], window,
+            res_tpu["klein_coeffs"]),
+        "pallas_klein_samples_per_sec": n_tpu / res_tpu["t_klein_s"],
+        "pallas_imhk_samples_per_sec": n_tpu * n_steps / res_tpu["t_imhk_s"],
+    }
+    out["passed"] = all(out[k]["passed"] for k in
+                        ("moments_klein", "moments_imhk", "log_weights",
+                         "acceptance", "f32_cond_mean"))
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from lattice_gaussian_mcmc_tpu.lattices import ntru_lattice
+    from lattice_gaussian_mcmc_tpu.lattices.qary import falcon_parameters
+
+    if jax.devices()[0].platform != "tpu":
+        print("ERROR: needs a real TPU as the default backend",
+              file=sys.stderr)
+        return 2
+
+    n_ring = int(os.environ.get("VAL_N", "512"))
+    n_tpu = int(os.environ.get("VAL_N_TPU", "131072"))
+    n_cpu = int(os.environ.get("VAL_N_CPU", "8192"))
+    n_steps = int(os.environ.get("VAL_STEPS", "16"))
+
+    lat32 = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
+                         dtype=jnp.float32)
+    max_gs = float(jnp.max(lat32.gs_norms))
+    sigma_smooth = falcon_parameters(1024 if n_ring >= 1024 else 512)["sigma"]
+    sigma_hard = 0.8 * max_gs
+
+    with tempfile.TemporaryDirectory() as tmp:
+        results = {
+            "lattice": f"ntru-{n_ring} (dim {2 * n_ring})",
+            "max_gs_norm": max_gs,
+            "device": str(jax.devices()[0]).replace(" ", "_"),
+            "smooth": validate_regime("smooth", sigma_smooth, lat32, tmp,
+                                      n_ring, n_tpu, n_cpu, n_steps, seed=7),
+            "hard": validate_regime("hard", sigma_hard, lat32, tmp,
+                                    n_ring, n_tpu, n_cpu, n_steps, seed=8),
+        }
+    results["all_passed"] = bool(results["smooth"]["passed"]
+                                 and results["hard"]["passed"])
+
+    out_dir = os.path.join(REPO, "results", "pallas_validation")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "validation.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    for reg in ("smooth", "hard"):
+        r = results[reg]
+        print(f"{reg}: {'PASS' if r['passed'] else 'FAIL'} "
+              f"(moments {r['moments_klein']['frac_mean_within_3se']:.3f}, "
+              f"ks_p {r['log_weights']['ks_p']:.3g}, "
+              f"acc diff {r['acceptance']['abs_diff']:.4f}, "
+              f"f32 err/sigma {r['f32_cond_mean']['max_err_over_sigma']:.2e})")
+    print(f"all_passed: {results['all_passed']}")
+    return 0 if results["all_passed"] else 1
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--cpu-phase":
+        out_npz = sys.argv[2]
+        kw = dict(a.split("=", 1) for a in sys.argv[3:])
+        cpu_phase(out_npz, n_ring=int(kw["n_ring"]),
+                  sigma=float(kw["sigma"]), window=int(kw["window"]),
+                  n_klein=int(kw["n_klein"]), n_chains=int(kw["n_chains"]),
+                  n_steps=int(kw["n_steps"]), seed=int(kw["seed"]))
+        sys.exit(0)
+    sys.exit(main())
