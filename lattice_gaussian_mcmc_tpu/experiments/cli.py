@@ -115,16 +115,37 @@ def main(argv: List[str] | None = None) -> int:
         print(f"[lattice-mcmc] running {name} ...", flush=True)
         try:
             r = run_experiment(name, args.output_dir, args.quick, args.cpu)
-            summary.append({"experiment": name, "ok": True,
+            # quality gates are load-bearing: an experiment that ran but
+            # failed its statistical gates fails the run (VERDICT r1 weak
+            # #3 — exceptions-only success let gate failures through)
+            gates = _gates_passed(r["results"])
+            summary.append({"experiment": name, "ok": gates is not False,
+                            "gates_passed": gates,
                             "seconds": r["seconds"]})
-            print(f"[lattice-mcmc] {name} done in {r['seconds']:.1f}s")
+            status = "done" if gates is not False else "GATES FAILED"
+            print(f"[lattice-mcmc] {name} {status} in {r['seconds']:.1f}s")
         except Exception as e:  # continue like the reference runner
             import traceback
             traceback.print_exc()
-            summary.append({"experiment": name, "ok": False, "error": str(e)})
+            summary.append({"experiment": name, "ok": False,
+                            "gates_passed": None, "error": str(e)})
     with open(os.path.join(args.output_dir, "run_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return 0 if all(s["ok"] for s in summary) else 1
+
+
+def _gates_passed(results):
+    """Extract a pass/fail verdict from an experiment's result payload:
+    True/False when it carries an `all_passed` flag (recursively), None when
+    it has no gates."""
+    if isinstance(results, dict):
+        if "all_passed" in results:
+            return bool(results["all_passed"])
+        verdicts = [_gates_passed(v) for v in results.values()]
+        verdicts = [v for v in verdicts if v is not None]
+        if verdicts:
+            return all(verdicts)
+    return None
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import math
 import os
 import time
 from typing import Dict, Optional
@@ -49,6 +50,21 @@ TVD_GATE = 0.02
 KL_GATE = 0.05
 
 
+def tvd_noise_floor(probs) -> "np.ndarray":
+    """Expected TVD of a PERFECT sampler against `probs` at sample size n,
+    per unit 1/sqrt(n): E[TVD] ~ (1/2) sum_k sqrt(2 p_k (1-p_k) / pi) / sqrt(n)
+    (normal approximation to the multinomial cell errors). Gates must sit
+    above this floor or they fail on noise alone (VERDICT r1 weak #3: the
+    fixed 0.02 gate rejected correct samplers at quick budgets)."""
+    p = np.asarray(probs, dtype=np.float64)
+    return 0.5 * float(np.sum(np.sqrt(2.0 * p * (1.0 - p) / np.pi)))
+
+
+def tvd_gate(probs, n_samples: int, base: float = TVD_GATE) -> float:
+    """Sample-size-aware TVD gate: base tolerance + 2x the noise floor."""
+    return base + 2.0 * tvd_noise_floor(probs) / math.sqrt(n_samples)
+
+
 def experiment_1_1d(key, sigma: float = 5.0, n_samples: int = 100_000) -> Dict:
     """1D D_{Z,sigma} empirical vs exact pmf."""
     t0 = time.perf_counter()
@@ -58,10 +74,13 @@ def experiment_1_1d(key, sigma: float = 5.0, n_samples: int = 100_000) -> Dict:
     support, probs = exact_pmf(sigma)
     tvd = tvd_vs_exact(np.asarray(z), support, probs)
     kl = kl_divergence_discrete(np.asarray(z), support, probs)
+    gate = tvd_gate(probs, n_samples)
     return {"experiment": "1d_validation", "sigma": sigma,
             "n_samples": n_samples, "tvd": tvd, "kl": kl,
+            "tvd_gate": gate,
+            "tvd_noise_floor": tvd_noise_floor(probs) / math.sqrt(n_samples),
             "samples_per_sec": n_samples / dt,
-            "passed": bool(tvd < TVD_GATE and kl < KL_GATE)}
+            "passed": bool(tvd < gate and kl < KL_GATE)}
 
 
 def experiment_2_2d(key, sigma: float = 2.0, n_samples: int = 50_000,
@@ -90,10 +109,13 @@ def experiment_2_2d(key, sigma: float = 2.0, n_samples: int = 50_000,
     mask = np.array([emp.get(tuple(map(int, c)), 0.0) for c in coords])
     nz = mask > 0
     kl = float(np.sum(mask[nz] * np.log(mask[nz] / p[nz])))
+    gate = tvd_gate(p, n_samples)
     return {"experiment": "2d_validation", "sigma": sigma,
             "n_samples": n_samples, "tvd": float(tvd), "kl": kl,
+            "tvd_gate": gate,
+            "tvd_noise_floor": tvd_noise_floor(p) / math.sqrt(n_samples),
             "samples_per_sec": n_samples / dt,
-            "passed": bool(tvd < 2 * TVD_GATE)}
+            "passed": bool(tvd < gate)}
 
 
 def experiment_3_acceptance(key, sigma: float = 0.35, n_blocks: int = 10,
