@@ -4,7 +4,7 @@ dimension: NTRU-512 (dim 1024), Pallas-f32-on-TPU vs the f64 XLA path.
 This is the proof behind the flagship benchmark number (bench.py): the two
 paths implement the same law (windowed Klein proposal + IMHK accept), so at
 matched window their sample statistics must agree up to Monte-Carlo error.
-Checks, per sigma regime (smooth = FALCON-512 sigma, hard = 0.8*max||b*||):
+Checks, per sigma regime (smooth = FALCON-512 sigma, hard = 0.45*max||b*||):
 
   1. per-coordinate moments: mean/std of Pallas-f32 draws vs f64 draws,
      z-scored by the two-sample standard error — >=99% of the 1024
@@ -176,17 +176,37 @@ def ks_2sample_np(x, y):
 
 
 def ks_check(lw_a, lw_b):
+    """Compare the f32 and f64 log-weight laws.
+
+    In smooth regimes (every conditional sigma >= 0.8) the TRUE log-weight
+    law at dim 1024 is degenerate to ~1e-13 (partition functions are
+    center-insensitive by Poisson summation), far below what ANY f32
+    representation of a ~1300-magnitude sum can resolve (ulp ~ 1e-4). There
+    a two-sample KS against f64 is meaningless; the correct check is that
+    the f32 noise is bounded by the Kahan-compensated accumulation floor.
+    Where the law has real spread (hard regime), KS applies directly."""
+    out = {
+        "mean_f32": float(lw_a.mean()), "mean_f64": float(lw_b.mean()),
+        "std_f32": float(lw_a.std()), "std_f64": float(lw_b.std()),
+    }
+    eps32 = float(np.finfo(np.float32).eps)
+    scale = max(abs(float(lw_b.mean())), 1.0)
+    f32_floor = 8 * eps32 * scale  # compensated-summation error bound
+    out["f32_noise_floor"] = f32_floor
+    if float(lw_b.std()) < 4 * f32_floor:
+        out["degenerate"] = True
+        out["passed"] = bool(
+            float(lw_a.std()) < 4 * f32_floor
+            and abs(float(lw_a.mean()) - float(lw_b.mean())) < 16 * f32_floor)
+        return out
+    out["degenerate"] = False
     D, p = ks_2sample_np(lw_a.astype(np.float64), lw_b.astype(np.float64))
     na, nb = len(lw_a), len(lw_b)
     se = np.sqrt(lw_a.var() / na + lw_b.var() / nb)
     z_mean = abs(lw_a.mean() - lw_b.mean()) / se
-    return {
-        "ks_D": D, "ks_p": p,
-        "mean_f32": float(lw_a.mean()), "mean_f64": float(lw_b.mean()),
-        "std_f32": float(lw_a.std()), "std_f64": float(lw_b.std()),
-        "z_mean": float(z_mean),
-        "passed": bool(p > 0.01 and z_mean < 4.0),
-    }
+    out.update({"ks_D": D, "ks_p": p, "z_mean": float(z_mean)})
+    out["passed"] = bool(p > 0.01 and z_mean < 4.0)
+    return out
 
 
 def acceptance_check(res_tpu, res_cpu):
@@ -287,7 +307,11 @@ def main():
                          dtype=jnp.float32)
     max_gs = float(jnp.max(lat32.gs_norms))
     sigma_smooth = falcon_parameters(1024 if n_ring >= 1024 else 512)["sigma"]
-    sigma_hard = 0.8 * max_gs
+    # 0.45*max||b*||: some conditional sigmas drop below 0.5, where the
+    # per-coordinate partition functions become genuinely center-sensitive
+    # and the IMHK correction has real work to do (at 0.8*max every
+    # sigma_i >= 0.8 and the log-weight law is still degenerate)
+    sigma_hard = 0.45 * max_gs
 
     with tempfile.TemporaryDirectory() as tmp:
         results = {
@@ -308,9 +332,12 @@ def main():
         json.dump(results, f, indent=2, default=float)
     for reg in ("smooth", "hard"):
         r = results[reg]
+        lwr = r["log_weights"]
+        ks_desc = ("degenerate-ok" if lwr.get("degenerate")
+                   else f"ks_p {lwr.get('ks_p', float('nan')):.3g}")
         print(f"{reg}: {'PASS' if r['passed'] else 'FAIL'} "
               f"(moments {r['moments_klein']['frac_mean_within_3se']:.3f}, "
-              f"ks_p {r['log_weights']['ks_p']:.3g}, "
+              f"{ks_desc}, "
               f"acc diff {r['acceptance']['abs_diff']:.4f}, "
               f"f32 err/sigma {r['f32_cond_mean']['max_err_over_sigma']:.2e})")
     print(f"all_passed: {results['all_passed']}")
