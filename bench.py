@@ -102,6 +102,82 @@ def main():
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]).replace(" ", "_"),
     }
+
+    # Hard-regime row (VERDICT r1: sigma well below max||b*||, acceptance
+    # far from 1, ESS/s from MEASURED chain autocorrelation rather than the
+    # a/(2-a) independence formula). Disable with BENCH_HARD=0.
+    if os.environ.get("BENCH_HARD", "1") == "1" and impl == "pallas":
+        from lattice_gaussian_mcmc_tpu.diagnostics.mcmc import (
+            autocorrelation,
+        )
+
+        sigma_h = 0.45 * float(jnp.max(lat.gs_norms))
+        pre_h = klein_precompute(lat, sigma_h)
+        Bh = min(n_chains, 131072)
+        Xh, lwh = klein_sample_batch_pallas(jax.random.fold_in(key, 100),
+                                            pre_h, Bh, tile=tile)
+        # trajectory of the log-weight summary: one fused step per dispatch
+        T = int(os.environ.get("BENCH_HARD_T", "48"))
+        lw_traj = np.empty((T, Bh), np.float32)
+        acc_h = jnp.zeros((Bh,), jnp.float32)
+        # warmup/compile the 1-step executable + burn-in
+        Xh, lwh, _ = imhk_steps_batch_pallas(jax.random.fold_in(key, 101),
+                                             pre_h, Xh, lwh, 8, tile=tile,
+                                             steps_per_dispatch=1)
+        t0 = time.perf_counter()
+        for s in range(T):
+            Xh, lwh, a1 = imhk_steps_batch_pallas(
+                jax.random.fold_in(key, 200 + s), pre_h, Xh, lwh, 1,
+                tile=tile, steps_per_dispatch=1)
+            lw_traj[s] = np.asarray(lwh)
+        jax.block_until_ready(Xh)
+        dt_h = time.perf_counter() - t0
+        # steady-state acceptance over a timed fused run (dispatch-free);
+        # warm the n_steps executable first (n_steps is a static arg — a
+        # cold call would time the compile, not the kernel)
+        Xh, lwh, _ = imhk_steps_batch_pallas(
+            jax.random.fold_in(key, 299), pre_h, Xh, lwh, n_steps, tile=tile)
+        jax.block_until_ready(Xh)
+        t0 = time.perf_counter()
+        Xh, lwh, acc_h = imhk_steps_batch_pallas(
+            jax.random.fold_in(key, 300), pre_h, Xh, lwh, n_steps,
+            tile=tile)
+        jax.block_until_ready(Xh)
+        sps_h = Bh * n_steps / (time.perf_counter() - t0)
+        a_h = float(jnp.mean(acc_h)) / n_steps
+        # pooled ACF across chains of the log-weight summary -> tau_int
+        centered = lw_traj - lw_traj.mean(axis=0, keepdims=True)
+        max_lag = T // 2
+        num = np.zeros(max_lag)
+        for lag in range(max_lag):
+            num[lag] = np.mean(centered[:T - lag] * centered[lag:T if lag
+                                                             else None])
+        rho = num / num[0]
+        # Sokal window: first lag where rho < 0.05 or window exhausted
+        tau = 0.5
+        for lag in range(1, max_lag):
+            if rho[lag] < 0.05:
+                break
+            tau += rho[lag]
+        ess_per_sample = 1.0 / (2.0 * tau)
+        result["hard_regime"] = {
+            "sigma": sigma_h,
+            "sigma_over_max_gs": 0.45,
+            "samples_per_sec": round(sps_h, 1),
+            "acceptance_rate": round(a_h, 4),
+            "tau_int_measured": round(float(tau), 3),
+            "ess_per_sample_measured": round(float(ess_per_sample), 4),
+            "ess_per_sec_measured": round(sps_h * ess_per_sample, 1),
+            "ess_per_sec_independence_formula": round(
+                sps_h * a_h / (2.0 - a_h), 1),
+            "traj_steps": T,
+        }
+
+    try:
+        from lattice_gaussian_mcmc_tpu.utils.profiling import memory_snapshot
+        result["memory"] = memory_snapshot()
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

@@ -33,8 +33,14 @@ Hardware validation (v5e, hw PRNG, basis [[1,.5],[0,1]], sigma=0.35,
 fused IMHK steps reach the target at TVD 0.0006 with acceptance 0.9904 —
 exactly the enumerated stationary acceptance 0.9904
 (tests/unit/test_klein_pallas.py::test_fused_imhk_hardware_hard_regime).
-Throughput: 7.38M fused IMHK samples/s at n=512 NTRU (dim 1024), 524288
-chains, tile=4096: wide tiles amortize the per-row latency of the
+At production dimension (NTRU-512, dim 1024) the f32 kernel is validated
+statistically against the f64 XLA path (scripts/validate_pallas_scale.py):
+per-coordinate moments within 3 SE, log-weight noise 2.5e-4 (bf16-split
+dots + Kahan accumulation; see the precision note below), acceptance within
+4 binomial SE in both smooth and hard sigma regimes.
+Throughput: 4.97M fused IMHK samples/s at n=512 NTRU (dim 1024), 524288
+chains, tile=4096 (7.38M before the precision fix — the split's 2x MXU
+passes cost ~30%): wide tiles amortize the per-row latency of the
 sequential backward substitution; cs/isg are stored (n, 128) and lane-splat
 in-kernel so VMEM goes to chain state (vmem_limit raised to 100 MB, far
 above XLA's 16 MB scoped default); n_steps run inside one dispatch with the
@@ -62,6 +68,45 @@ except Exception:  # pragma: no cover
 BLOCK = 128  # rows per cross-block matmul (lane alignment requires 128)
 GROUP = 8    # rows per aligned sublane group (f32 sublane tile height)
 
+# Precision design. Mosaic's DEFAULT dot precision on TPU is a single bf16
+# MXU pass (measured: 3.7e-3 max relative error). Left uncorrected that
+# (a) shifts Klein's conditional means by up to 6.5e-2 * sigma_i on the
+# NTRU-512 basis (a real per-coordinate law distortion), and (b) perturbs
+# every per-coordinate CDF/partition function by ~1e-3 relative, so at
+# dim 1024 the log-weight picks up ~sqrt(n)*1e-3 ~ 0.03 noise that Kahan
+# accumulation cannot remove (it is per-term error, not accumulation error).
+# Precision.HIGHEST fixes both (measured 6e-8) but lowers to a ~20-40x
+# slower path in Mosaic. Instead every dot uses a 2-pass bf16 SPLIT at
+# DEFAULT precision: the left operand L is decomposed as L_hi + L_lo with
+# L_hi = bf16(L) (exactly representable, so the MXU pass is exact up to f32
+# accumulation) and L_lo = L - L_hi (|L_lo| <= 4e-3|L|, whose own bf16
+# rounding error is ~1.6e-5|L| — f32 quality). The right operand (drawn
+# integer coefficients / 0-1 indicators / exp weights in [0,1]) is kept
+# bf16-exact by construction: coefficients are re-centered integers with
+# |y| < 256 and the cdf weights are split the same way.
+# (Measured end-to-end: conditional-mean error 9.8e-5 * sigma, log-weight
+# noise 2.5e-4 at dim 1024 — vs 6.5e-2 / 0.016 unsplit.)
+
+
+def _bf16_split(a: jnp.ndarray):
+    """Split f32 a = hi + lo with hi exactly bf16-representable (so a
+    DEFAULT-precision MXU pass consumes it without rounding) and
+    |lo| <= 2^-8 |a|. Used OUTSIDE kernels where dtype casts are free."""
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
+
+
+def _bf16_split_bits(a: jnp.ndarray):
+    """In-kernel variant of _bf16_split: truncate the low 16 mantissa bits
+    via int32 masking instead of dtype casts. bf16 is bit-identical to the
+    top 16 bits of f32, so the masked value is exactly bf16-representable —
+    and the bitwise ops keep the f32 (8, 128) tile layout, where an actual
+    f32->bf16->f32 cast forces a Mosaic relayout (measured ~20x slowdown
+    when done once per sampled row). lo = a - hi is exact (Sterbenz)."""
+    bits = pltpu.bitcast(a, jnp.int32)
+    hi = pltpu.bitcast(jnp.bitwise_and(bits, jnp.int32(-65536)), jnp.float32)
+    return hi, a - hi
+
 
 def pallas_supported() -> bool:
     if not _PALLAS_OK:
@@ -72,15 +117,19 @@ def pallas_supported() -> bool:
         return False
 
 
-def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
+def _kernel(seed_ref, u_ref, ul_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
             n, window, host_rng, tile, fused_mh, n_steps=1):
     """One program: sample `tile` chains end-to-end.
 
     Refs:
       seed_ref: (1, 1) int32 SMEM
-      u_ref:    (n, n) f32 VMEM — scaled upper-triangular U (unit diagonal)
-      ud_ref:   (n, GROUP) f32 VMEM — diagonal-block table:
-                ud[i, d] = U[i, (i//8)*8 + d]
+      u_ref:    (n, n) f32 VMEM — bf16-exact high part of the scaled
+                upper-triangular U (unit diagonal)
+      ul_ref:   (n, n) f32 VMEM — split residual U - u_ref (see precision
+                note above); every coupling dot is u_ref@x + ul_ref@x
+      ud_ref:   (n, GROUP) f32 VMEM — diagonal-block table of the FULL U:
+                ud[i, d] = U[i, (i//8)*8 + d] (used elementwise on the VPU,
+                so it needs no split)
       cs_ref:   (n, 128) f32 VMEM — scaled center (lane 0 meaningful; stored
                 128-wide for alignment, splat to tile lanes in-kernel)
       isg_ref:  (n, 128) f32 VMEM — inverse conditional sigmas, same
@@ -136,7 +185,11 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
         w2 = window // 2
         m = logits[w2:w2 + 1, :]
         w = jnp.exp(logits - m)
-        cdf = jnp.dot(tril, w, preferred_element_type=jnp.float32)
+        # bf16-split cumsum: w_hi is bf16-exact so its MXU pass is exact;
+        # the residual pass contributes the (tiny) correction
+        w_hi, w_lo = _bf16_split_bits(w)
+        cdf = (jnp.dot(tril, w_hi, preferred_element_type=jnp.float32)
+               + jnp.dot(tril, w_lo, preferred_element_type=jnp.float32))
         total = cdf[window - 1:window, :]
         target = u01 * total
         idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
@@ -165,8 +218,11 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
             lo, hi = bi * BLOCK, (bi + 1) * BLOCK
             # cross-block tail contribution (MXU): (BLOCK, n-hi) @ (n-hi, tile)
             if hi < n:
-                t_ref[:] = jnp.dot(u_ref[lo:hi, hi:], out_ref[hi:, :],
-                                   preferred_element_type=jnp.float32)
+                xt = out_ref[hi:, :]
+                t_ref[:] = (jnp.dot(u_ref[lo:hi, hi:], xt,
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(ul_ref[lo:hi, hi:], xt,
+                                      preferred_element_type=jnp.float32))
             else:
                 t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
 
@@ -175,6 +231,7 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
                 r8 = pl.multiple_of(BLOCK - GROUP - g * GROUP, GROUP)  # top 1st
                 i8 = pl.multiple_of(lo + r8, GROUP)
                 u8 = u_ref[pl.ds(i8, GROUP), lo:hi]   # (8, BLOCK)
+                u8l = ul_ref[pl.ds(i8, GROUP), lo:hi]
                 ud8 = ud_ref[pl.ds(i8, GROUP), :]     # (8, 8)
                 t8 = t_ref[pl.ds(r8, GROUP), :]       # (8, tile)
                 # lane-only splat (8,1)->(8,tile), materialized through VMEM
@@ -197,8 +254,9 @@ def _kernel(seed_ref, u_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
                 # is constant during this group (the group's own rows are
                 # still zero there, their coupling comes from z_ref via ud8),
                 # so one (8, BLOCK) matmul covers all 8 rows.
-                s8 = jnp.dot(u8, out_ref[lo:hi, :],
-                             preferred_element_type=jnp.float32)
+                xb = out_ref[lo:hi, :]
+                s8 = (jnp.dot(u8, xb, preferred_element_type=jnp.float32)
+                      + jnp.dot(u8l, xb, preferred_element_type=jnp.float32))
                 for d in range(GROUP - 1, -1, -1):
                     # coupling to rows of this group (still only in z_ref)
                     c = cs8[d:d + 1, :] - t8[d:d + 1, :] - s8[d:d + 1, :]
@@ -251,6 +309,33 @@ def _diag_block_table(U: jnp.ndarray) -> jnp.ndarray:
     return U[rows[:, None], cols]
 
 
+def _kernel_operands(ppre):
+    """Shared kernel-operand prep: bf16-split U and the integer recentering.
+
+    The chain state inside the kernel is y = x - k with k = round(cs): the
+    drawn values then stay O(coefficient spread) rather than O(center), so
+    they are exactly bf16-representable (|y| < 256) and the split coupling
+    dots are exact. The scaled center seen by the kernel absorbs both the
+    coupling of the shift and the row's own shift:
+    c'_i = cs_i - sum_{j>i} U_ij k_j - k_i = cs_i - (U@k)_i (U has unit
+    diagonal), so that y_i = x_i - k_i coordinate-wise. U@k runs once per
+    dispatch at XLA HIGHEST precision (exact f32; XLA's multi-pass f32
+    algorithm is fast, unlike Mosaic's).
+    """
+    n = ppre.U.shape[0]
+    U = ppre.U.astype(jnp.float32)
+    Uh, Ulo = _bf16_split(U)
+    ud = _diag_block_table(U)
+    k = jnp.round(ppre.cs.astype(jnp.float32))
+    cs_eff = ppre.cs.astype(jnp.float32) - jnp.dot(
+        U, k, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    cs = jnp.asarray(jnp.broadcast_to(cs_eff[:, None], (n, 128)))
+    isg = jnp.asarray(jnp.broadcast_to(
+        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, 128)))
+    return Uh, Ulo, ud, cs, isg, k
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_samples", "interpret", "host_rng",
                                     "tile"))
@@ -275,12 +360,7 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
     k_seed, k_unif = jax.random.split(key)
     seed = jax.random.randint(k_seed, (1, 1), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
-    U = ppre.U.astype(jnp.float32)
-    ud = _diag_block_table(U)
-    cs = jnp.asarray(jnp.broadcast_to(
-        ppre.cs.astype(jnp.float32)[:, None], (n, 128)))
-    isg = jnp.asarray(jnp.broadcast_to(
-        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, 128)))
+    Uh, Ulo, ud, cs, isg, kshift = _kernel_operands(ppre)
     if host_rng:
         unif = jax.random.uniform(k_unif, (n, B), dtype=jnp.float32)
     else:  # tiny placeholder (never read)
@@ -293,6 +373,7 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
         grid=(B // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -322,8 +403,8 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, U, ud, cs, isg, unif)
-    return x[:n_real, :].T, lw[0]
+    )(seed, Uh, Ulo, ud, cs, isg, unif)
+    return x[:n_real, :].T + kshift[None, :n_real], lw[0]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "n_steps",
@@ -344,17 +425,13 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
 
     seed = jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
-    U = ppre.U.astype(jnp.float32)
-    ud = _diag_block_table(U)
-    cs = jnp.asarray(jnp.broadcast_to(
-        ppre.cs.astype(jnp.float32)[:, None], (n, 128)))
-    isg = jnp.asarray(jnp.broadcast_to(
-        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, 128)))
+    Uh, Ulo, ud, cs, isg, kshift = _kernel_operands(ppre)
     unif = jnp.zeros((8, B), dtype=jnp.float32)  # placeholder
 
-    # pad coeff state rows up to n (padded coords are always 0)
+    # pad coeff state rows up to n (padded coords are always 0); the kernel
+    # state is recentered y = x - round(cs) (see _kernel_operands)
     xold = jnp.zeros((n, B), jnp.float32).at[:n_real, :].set(
-        coeffs.T.astype(jnp.float32))
+        coeffs.T.astype(jnp.float32) - kshift[:n_real, None])
     lwold = log_ws.astype(jnp.float32)[None, :]
     accold = acc.astype(jnp.float32)[None, :]
 
@@ -365,6 +442,7 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
         grid=(B // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -404,12 +482,12 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
         # the chain state (xold, lwold, accold) is updated in place across
         # the fused steps — alias it with the outputs so only ONE (n, B)
         # state buffer exists in VMEM per program
-        input_output_aliases={6: 0, 7: 1, 8: 2},
+        input_output_aliases={7: 0, 8: 1, 9: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, U, ud, cs, isg, unif, xold, lwold, accold)
-    return x[:n_real, :].T, lw[0], acc_out[0]
+    )(seed, Uh, Ulo, ud, cs, isg, unif, xold, lwold, accold)
+    return x[:n_real, :].T + kshift[None, :n_real], lw[0], acc_out[0]
 
 
 @jax.jit
@@ -448,13 +526,18 @@ def babai_decode_batch_pallas(pre: KleinPrecomp, targets: jax.Array,
                               tile: int = 4096, interpret: bool = False):
     """Batched Babai nearest-plane on TPU: coeffs (B, n) = round-backward
     (Q^T targets / r_diag). `targets` (B, n) arbitrary points; B must be a
-    multiple of `tile`. ~10^9 decode-coordinates/s on one v5e chip."""
+    multiple of `tile`. ~10^9 decode-coordinates/s on one v5e chip.
+
+    Accuracy: per-target integer recentering (y = x - round(ct), shift
+    absorbed into ct via one XLA HIGHEST matmul) plus bf16-split U keep the
+    in-kernel couplings f32-exact for targets of any magnitude."""
     from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import _pad_precomp
     B = targets.shape[0]
     assert B % tile == 0, f"batch must be a multiple of {tile}"
     ppre, n_real = _pad_precomp(pre, BLOCK)
     n = ppre.U.shape[0]
     U = ppre.U.astype(jnp.float32)
+    Uh, Ulo = _bf16_split(U)
     ud = _diag_block_table(U)
 
     # per-target scaled transformed centers: rows n_real..n are zero
@@ -462,15 +545,24 @@ def babai_decode_batch_pallas(pre: KleinPrecomp, targets: jax.Array,
     Qm, Rm = jnp.linalg.qr(basis.astype(jnp.float32))
     ct = (targets.astype(jnp.float32) @ Qm) / jnp.diagonal(Rm)[None, :]
     ct_full = jnp.zeros((n, B), jnp.float32).at[:n_real, :].set(ct.T)
+    # per-target recentering (cf. _kernel_operands): the decoded residual
+    # y = x - k is O(1), exactly bf16-representable inside the kernel
+    kshift = jnp.round(ct_full)
+    ct_full = ct_full - jnp.dot(U, kshift,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
 
-    def kernel(u_ref, udk_ref, ct_ref, x_ref, t_ref, z_ref):
+    def kernel(u_ref, ul_ref, udk_ref, ct_ref, x_ref, t_ref, z_ref):
         x_ref[:] = jnp.zeros((n, tile), jnp.float32)
         nb = n // BLOCK
         for bi in range(nb - 1, -1, -1):
             lo, hi = bi * BLOCK, (bi + 1) * BLOCK
             if hi < n:
-                t_ref[:] = jnp.dot(u_ref[lo:hi, hi:], x_ref[hi:, :],
-                                   preferred_element_type=jnp.float32)
+                xt = x_ref[hi:, :]
+                t_ref[:] = (jnp.dot(u_ref[lo:hi, hi:], xt,
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(ul_ref[lo:hi, hi:], xt,
+                                      preferred_element_type=jnp.float32))
             else:
                 t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
 
@@ -478,11 +570,14 @@ def babai_decode_batch_pallas(pre: KleinPrecomp, targets: jax.Array,
                 r8 = pl.multiple_of(BLOCK - GROUP - g * GROUP, GROUP)
                 i8 = pl.multiple_of(lo + r8, GROUP)
                 u8 = u_ref[pl.ds(i8, GROUP), lo:hi]
+                u8l = ul_ref[pl.ds(i8, GROUP), lo:hi]
                 ud8 = udk_ref[pl.ds(i8, GROUP), :]
                 t8 = t_ref[pl.ds(r8, GROUP), :]
                 ct8 = ct_ref[pl.ds(i8, GROUP), :]
-                s8 = jnp.dot(u8, x_ref[lo:hi, :],
-                             preferred_element_type=jnp.float32)
+                xb = x_ref[lo:hi, :]
+                s8 = (jnp.dot(u8, xb, preferred_element_type=jnp.float32)
+                      + jnp.dot(u8l, xb,
+                                preferred_element_type=jnp.float32))
                 for d in range(GROUP - 1, -1, -1):
                     c = ct8[d:d + 1, :] - t8[d:d + 1, :] - s8[d:d + 1, :]
                     for dp in range(d + 1, GROUP):
@@ -499,6 +594,7 @@ def babai_decode_batch_pallas(pre: KleinPrecomp, targets: jax.Array,
         grid=(B // tile,),
         in_specs=[
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, tile), lambda i: (0, i),
@@ -514,5 +610,5 @@ def babai_decode_batch_pallas(pre: KleinPrecomp, targets: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(U, ud, ct_full)
-    return x[:n_real, :].T
+    )(Uh, Ulo, ud, ct_full)
+    return (x + kshift)[:n_real, :].T

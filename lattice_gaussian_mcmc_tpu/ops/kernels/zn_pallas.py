@@ -34,13 +34,17 @@ TILE = 1024   # lane-axis width per program (multiple of 128)
 ROWS = 256    # variates per lane per program
 
 
-def _kernel(seed_ref, params_ref, out_ref, *, window, rows, tile):
+def _kernel(seed_ref, params_ref, unif_ref, out_ref, *, window, rows, tile,
+            host_rng):
     """Draw (rows, tile) i.i.d. D_{Z, sigma, c} variates.
 
     params_ref: (1, 2) f32 SMEM — [sigma, center].
+    unif_ref: (rows, tile) f32 VMEM host uniforms (host_rng only; interpret
+    mode simulates the hardware PRNG as zeros, so tests feed uniforms).
     """
     prog = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0, 0] + prog * 1103515245)  # fits int32
+    if not host_rng:
+        pltpu.prng_seed(seed_ref[0, 0] + prog * 1103515245)  # fits int32
     sigma = params_ref[0, 0]
     center = params_ref[0, 1]
 
@@ -52,18 +56,29 @@ def _kernel(seed_ref, params_ref, out_ref, *, window, rows, tile):
     logits = -0.5 * zsc * zsc
     m = jnp.max(logits)
     w = jnp.exp(logits - m)                                # (window, 1)
-    # cumsum via lower-triangular ones matmul (no cumsum primitive on TPU)
+    # cumsum via lower-triangular ones matmul (no cumsum primitive on TPU).
+    # Mosaic's DEFAULT dot is a single bf16 pass (~2e-3 relative CDF bias);
+    # the bf16 split restores f32 accuracy (see klein_pallas precision note)
+    # at zero cost here — the cdf is built once per program, not per draw.
     row_w = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0)
     col_w = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
     tril = (col_w <= row_w).astype(jnp.float32)
-    cdf = jnp.dot(tril, w, preferred_element_type=jnp.float32)  # (window, 1)
+    wbits = pltpu.bitcast(w, jnp.int32)
+    w_hi = pltpu.bitcast(jnp.bitwise_and(wbits, jnp.int32(-65536)),
+                         jnp.float32)
+    cdf = (jnp.dot(tril, w_hi, preferred_element_type=jnp.float32)
+           + jnp.dot(tril, w - w_hi,
+                     preferred_element_type=jnp.float32))  # (window, 1)
     total = cdf[window - 1, 0]
 
     def row_body(r, _):
-        bits = pltpu.bitcast(pltpu.prng_random_bits((1, tile)), jnp.int32)
-        mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
-        fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
-        u01 = pltpu.bitcast(fbits, jnp.float32) - 1.0
+        if host_rng:
+            u01 = unif_ref[pl.ds(r, 1), :]
+        else:
+            bits = pltpu.bitcast(pltpu.prng_random_bits((1, tile)), jnp.int32)
+            mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
+            fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
+            u01 = pltpu.bitcast(fbits, jnp.float32) - 1.0
         target = u01 * total                               # (1, tile)
         idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
                       keepdims=True)                       # (1, tile)
@@ -74,27 +89,39 @@ def _kernel(seed_ref, params_ref, out_ref, *, window, rows, tile):
     jax.lax.fori_loop(0, rows, row_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num", "window"))
+@functools.partial(jax.jit, static_argnames=("num", "window", "rows", "tile",
+                                             "interpret", "host_rng"))
 def sample_zn_pallas(key: jax.Array, num: int, sigma, center=0.0,
-                     window: int = 64):
+                     window: int = 64, rows: int = ROWS, tile: int = TILE,
+                     interpret: bool = False, host_rng: bool = False):
     """`num` i.i.d. draws from D_{Z, sigma, center} (flat array). `num` must
-    be a multiple of ROWS * TILE = 262144. Reshape client-side for Z^n
-    vectors."""
-    assert num % (ROWS * TILE) == 0, f"num must be a multiple of {ROWS*TILE}"
-    n_progs = num // (ROWS * TILE)
-    seed = jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max,
+    be a multiple of rows * tile (262144 at the production defaults; shrink
+    both for interpret-mode testing). Reshape client-side for Z^n vectors."""
+    assert num % (rows * tile) == 0, f"num must be a multiple of {rows*tile}"
+    n_progs = num // (rows * tile)
+    k_seed, k_unif = jax.random.split(key)
+    seed = jax.random.randint(k_seed, (1, 1), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
     params = jnp.asarray([[sigma, center]], dtype=jnp.float32)
-    kernel = functools.partial(_kernel, window=window, rows=ROWS, tile=TILE)
+    if host_rng:
+        unif = jax.random.uniform(k_unif, (n_progs * rows, tile),
+                                  dtype=jnp.float32)
+    else:  # tiny placeholder (never read)
+        unif = jnp.zeros((n_progs * rows, tile), dtype=jnp.float32)
+    kernel = functools.partial(_kernel, window=window, rows=rows, tile=tile,
+                               host_rng=host_rng)
     out = pl.pallas_call(
         kernel,
         grid=(n_progs,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, tile), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROWS, TILE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows, tile), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_progs * ROWS, TILE), jnp.float32),
-    )(seed, params)
+        out_shape=jax.ShapeDtypeStruct((n_progs * rows, tile), jnp.float32),
+        interpret=interpret,
+    )(seed, params, unif)
     return out.reshape(-1)

@@ -24,3 +24,8 @@ from lattice_gaussian_mcmc_tpu.samplers.gibbs import (  # noqa: F401
     gibbs_chain,
     annealed_gibbs_decode,
 )
+from lattice_gaussian_mcmc_tpu.samplers.adaptive import (  # noqa: F401
+    adaptive_klein_sample,
+    choose_precision,
+    f32_law_distortion_bound,
+)

@@ -95,9 +95,15 @@ def dual_averaging_update(mu: float, log_sigma: float, h_sum: float,
                           gamma: float = 0.05, t0: float = 10.0,
                           kappa: float = 0.75) -> Tuple[float, float, float]:
     """Nesterov dual averaging (the NUTS-style step-size adapter, applied to
-    log sigma): returns (new_log_sigma, new_h_sum, log_sigma_bar_weight)."""
+    log sigma): returns (new_log_sigma, new_h_sum, log_sigma_bar_weight).
+
+    Sign note: NUTS adapts a step size whose acceptance *decreases* in the
+    parameter (hence `mu - ...`); IMHK acceptance *increases* with sigma
+    (larger sigma flattens the importance weights), so the correction is
+    applied with the opposite sign: observed < target pushes log sigma UP.
+    """
     h_sum = h_sum + (target - observed)
-    log_sigma_new = mu - math.sqrt(t) / gamma * h_sum / (t + t0)
+    log_sigma_new = mu + math.sqrt(t) / gamma * h_sum / (t + t0)
     eta = t ** (-kappa)
     return log_sigma_new, h_sum, eta
 

@@ -144,3 +144,44 @@ def test_pathological_basis_warns(pathological_basis):
         # nearly-dependent basis: conditional sigma blows up -> window warning
         assert any("window" in str(x.message) or "sigma" in str(x.message)
                    for x in w)
+
+
+class TestAdaptivePrecision:
+    """Adaptive-precision path selection (reference klein.py:273-302)."""
+
+    def test_well_conditioned_stays_f32(self, key):
+        from lattice_gaussian_mcmc_tpu.samplers.adaptive import (
+            adaptive_klein_sample,
+            choose_precision,
+            f32_law_distortion_bound,
+        )
+        from lattice_gaussian_mcmc_tpu.lattices import identity_lattice
+        from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+        lat = identity_lattice(8, dtype=jnp.float32)
+        pre = klein_precompute(lat, 3.0)
+        assert f32_law_distortion_bound(pre) < 1e-3
+        assert choose_precision(pre) == "f32"
+        X, lw, info = adaptive_klein_sample(key, lat, 3.0, 64)
+        assert info["path"].startswith("xla_f32") or \
+            info["path"] == "pallas_f32"
+        assert X.shape == (64, 8)
+
+    def test_ill_conditioned_escalates(self, key, rng):
+        from lattice_gaussian_mcmc_tpu.samplers.adaptive import (
+            adaptive_klein_sample,
+            choose_precision,
+        )
+        from lattice_gaussian_mcmc_tpu.lattices import lattice_from_basis
+        from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+        # huge center magnitude + wide conditional sigma blow up the f32
+        # rounding of c_i relative to the narrow last coordinate
+        n = 8
+        B = np.triu(rng.uniform(-1, 1, (n, n))) + np.diag(
+            np.geomspace(1e4, 1e-3, n))
+        lat = lattice_from_basis(B, dtype=jnp.float32)
+        sigma = 0.45 * float(np.max(np.asarray(lat.gs_norms)))
+        pre = klein_precompute(lat, sigma)
+        assert choose_precision(pre, rtol=1e-2) == "f64"
+        X, lw, info = adaptive_klein_sample(key, lat, sigma, 32, rtol=1e-2)
+        assert info["path"] == "xla_f64"
+        assert X.dtype == jnp.float64
