@@ -109,6 +109,41 @@ def distance_to_mode(points, center, sigma: float) -> Dict[str, float]:
             "relative_error": float(abs(d.mean() - expected) / expected)}
 
 
+def gs_decay_correlation(coeffs, gs_norms, sigma: float) -> Dict[str, object]:
+    """Gram-Schmidt-decay vs coordinate-usage correlation (reference
+    src/diagnostics/convergence.py:402-444).
+
+    Klein's conditional width at coordinate i is sigma_i = sigma/||b*_i||,
+    so the per-coordinate std of the sampled coefficients should track
+    1/||b*_i||: a strong negative correlation between log||b*_i|| and
+    log std_i indicates the sampler actually exercises the decaying tail of
+    the GS profile (coordinates with small ||b*_i|| carry wide conditionals),
+    while correlation ~0 flags truncation/window starvation there.
+    """
+    X = np.asarray(coeffs, dtype=np.float64)
+    g = np.asarray(gs_norms, dtype=np.float64)
+    usage = X.std(axis=0)
+    predicted = sigma / g
+    # discrete floor: a conditional with sigma_i << 1 concentrates on one
+    # integer and contributes ~0 std regardless of g — exclude those
+    active = predicted > 0.3
+    if active.sum() >= 3 and np.ptp(g[active]) > 0:
+        corr = float(np.corrcoef(np.log(g[active]),
+                                 np.log(np.maximum(usage[active], 1e-12)))[0, 1])
+        pred_corr = float(np.corrcoef(predicted[active],
+                                      usage[active])[0, 1])
+    else:
+        corr = float("nan")
+        pred_corr = float("nan")
+    return {
+        "log_gs_vs_log_usage_corr": corr,
+        "predicted_vs_observed_usage_corr": pred_corr,
+        "n_active_coords": int(active.sum()),
+        "gs_decay_ratio": float(g.max() / g.min()),
+        "usage_profile_ok": bool(np.isnan(pred_corr) or pred_corr > 0.5),
+    }
+
+
 def optimal_batch_size(x, candidates=(8, 16, 32, 64, 128)) -> int:
     """Batch size minimizing batch-means variance instability via tau_int
     heuristic b ~ T^(1/3) * tau^(2/3) (reference :487-526)."""
@@ -123,7 +158,8 @@ def comprehensive_report(pre: KleinPrecomp, key, n_samples: int = 5000,
                          n_chains: int = 4) -> Dict[str, object]:
     """The full C17-style report (reference :528-581)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    _, lw = klein_sample_batch(k1, pre, min(n_samples, 4096))
+    Xk, lw = klein_sample_batch(k1, pre, min(n_samples, 4096))
+    gs_norms = np.asarray(pre.sigma / pre.sigmas)
     chains = []
     for c in range(n_chains):
         coeffs, _, state = imhk_chain(jax.random.fold_in(k2, c), pre,
@@ -133,6 +169,7 @@ def comprehensive_report(pre: KleinPrecomp, key, n_samples: int = 5000,
     x0 = jnp.asarray(chains[0])
     return {
         "importance_weights": importance_weight_report(lw),
+        "gs_decay": gs_decay_correlation(Xk, gs_norms, float(pre.sigma)),
         "minorization_delta": minorization_constant(lw),
         "empirical_mixing_time": empirical_mixing_time(chains),
         "uniform_ergodicity": uniform_ergodicity_test(pre, k3),

@@ -147,8 +147,10 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
     per_batch = B * (4 if algorithm == "imhk" else 1)
     if peikert_batch is not None:
         per_batch = peikert_batch
+    from lattice_gaussian_mcmc_tpu.utils.profiling import memory_snapshot
     return {"algorithm": algorithm, "dimension": n,
-            "samples_per_sec": per_batch / stats["p50_s"], **stats}
+            "samples_per_sec": per_batch / stats["p50_s"], **stats,
+            **memory_snapshot()}
 
 
 def bench_reduction(n: int, cfg: BenchmarkConfig) -> Dict:

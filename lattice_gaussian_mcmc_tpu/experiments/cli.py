@@ -27,9 +27,19 @@ EXPERIMENTS = ("convergence", "scaling", "crypto", "sensitivity",
 
 def run_experiment(name: str, output_dir: str, quick: bool, cpu: bool) -> Dict:
     import jax
+
+    from lattice_gaussian_mcmc_tpu.utils.logging import get_logger, log_phase
     if cpu:
         jax.config.update("jax_platforms", "cpu")
     t0 = time.perf_counter()
+    log = get_logger("experiments")
+    with log_phase(name, log):
+        out = _dispatch(name, output_dir, quick)
+    return {"experiment": name, "seconds": time.perf_counter() - t0,
+            "results": out}
+
+
+def _dispatch(name: str, output_dir: str, quick: bool):
     if name == "convergence":
         from lattice_gaussian_mcmc_tpu.experiments.configs import ConvergenceConfig
         from lattice_gaussian_mcmc_tpu.experiments.convergence_study import run_study
@@ -91,8 +101,7 @@ def run_experiment(name: str, output_dir: str, quick: bool, cpu: bool) -> Dict:
         out = run_benchmarks(cfg)
     else:
         raise ValueError(f"unknown experiment {name!r}")
-    return {"experiment": name, "seconds": time.perf_counter() - t0,
-            "results": out}
+    return out
 
 
 def main(argv: List[str] | None = None) -> int:
@@ -110,6 +119,9 @@ def main(argv: List[str] | None = None) -> int:
 
     names = list(EXPERIMENTS) if "all" in args.experiments else args.experiments
     os.makedirs(args.output_dir, exist_ok=True)
+    from lattice_gaussian_mcmc_tpu.utils.logging import add_run_file_handler
+    log_path = add_run_file_handler(os.path.join(args.output_dir, "logs"))
+    print(f"[lattice-mcmc] logging to {log_path}", flush=True)
     summary = []
     for name in names:
         print(f"[lattice-mcmc] running {name} ...", flush=True)

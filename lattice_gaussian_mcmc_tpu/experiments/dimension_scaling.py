@@ -174,6 +174,75 @@ def parallel_chain_scaling(cfg: Optional[ScalingConfig] = None) -> List[Dict]:
     return out
 
 
+def asymptotic_analysis(cfg: Optional[ScalingConfig] = None) -> List[Dict]:
+    """Asymptotic-dimension analysis (reference :615-797): throughput,
+    complexity fit, window size, VMEM-feasibility of the Pallas kernel, and
+    host/device memory profile at n in `cfg.asymptotic_dims` (512-2048).
+
+    Uses Z^n so lattice construction stays O(n) and the measurement isolates
+    the sampler's own O(n^2)-per-sample scaling; the Pallas kernel's VMEM
+    model is U (n^2 f32) + ~6 (n, tile) state/scratch buffers per program.
+    """
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        pallas_supported,
+    )
+    from lattice_gaussian_mcmc_tpu.utils.profiling import memory_snapshot
+
+    cfg = cfg or ScalingConfig()
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    key = jax.random.key(cfg.seed)
+    on_tpu = pallas_supported()
+    out = []
+    for n in cfg.asymptotic_dims:
+        lat = identity_lattice(n, dtype=dtype)
+        sigma = 2.0 * float(smoothing_parameter(lat))
+        pre = klein_precompute(lat, sigma)
+        # VMEM feasibility at this n: pick the widest power-of-two tile
+        # fitting the 100 MB vmem budget, >= 256 lanes
+        budget = 100 * 1024 * 1024
+        u_bytes = 4 * n * n
+        tile = 4096
+        while tile > 256 and u_bytes + 4 * 6 * n * tile > budget:
+            tile //= 2
+        feasible = u_bytes + 4 * 6 * n * tile <= budget
+        B = 4096
+        t0 = time.perf_counter()
+        if on_tpu and feasible and n % 128 == 0:
+            from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+                klein_sample_batch_pallas,
+            )
+            B = max(B, tile)
+            run = lambda k: klein_sample_batch_pallas(k, pre, B, tile=tile)
+            impl = "pallas"
+        else:
+            run = lambda k: klein_sample_batch_blocked(k, pre, B,
+                                                       min(64, n))
+            impl = "blocked"
+        jax.block_until_ready(run(key))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        X, lw = run(jax.random.fold_in(key, 1))
+        jax.block_until_ready(X)
+        dt = time.perf_counter() - t0
+        row = {"dimension": n, "sigma": sigma, "window": pre.window,
+               "impl": impl, "tile": tile if impl == "pallas" else None,
+               "vmem_bytes_per_program": u_bytes + 4 * 6 * n * tile,
+               "vmem_feasible": bool(feasible),
+               "samples_per_sec": B / dt,
+               "sec_per_sample": dt / B,
+               "compile_s": compile_s}
+        row.update(memory_snapshot())
+        out.append(row)
+    # empirical complexity exponent: sec/sample ~ n^alpha
+    if len(out) >= 2:
+        ls = np.log([r["sec_per_sample"] for r in out])
+        ln = np.log([r["dimension"] for r in out])
+        alpha = float(np.polyfit(ln, ls, 1)[0])
+        for r in out:
+            r["complexity_exponent_fit"] = alpha
+    return out
+
+
 def run_scaling(cfg: Optional[ScalingConfig] = None) -> Dict:
     cfg = cfg or ScalingConfig()
     out_dir = cfg.ensure_output()
@@ -183,6 +252,7 @@ def run_scaling(cfg: Optional[ScalingConfig] = None) -> Dict:
         "theta_products": theta_product_analysis(),
         "condition_sensitivity": condition_number_sensitivity(cfg),
         "parallel_chains": parallel_chain_scaling(cfg),
+        "asymptotics": asymptotic_analysis(cfg),
     }
     with open(os.path.join(out_dir, "dimension_scaling.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)

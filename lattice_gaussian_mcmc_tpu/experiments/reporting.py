@@ -150,4 +150,25 @@ def generate_figures(results_dir: str = "results",
             pt.scaling_plot(rows, "sigma_over_eta", "spectral_gap",
                             name="fig4_sigma_gap", loglog=False)
             made.append("fig4_sigma_gap")
+            heat = [r for r in rows
+                    if r.get("acceptance") is not None
+                    and r.get("dimension") is not None]
+            if heat:
+                pt.sensitivity_heatmap(heat, name="fig6_sigma_heatmap")
+                made.append("fig6_sigma_heatmap")
+    if scal:
+        drows = scal["dimension_scaling.json"].get("inverse_delta", [])
+        if drows:
+            pt.delta_scaling(drows, name="fig5_delta_scaling")
+            made.append("fig5_delta_scaling")
+    bench = _load(os.path.join(results_dir, "benchmark"),
+                  "benchmark_results.json")
+    if bench:
+        rows = bench["benchmark_results.json"].get("sampling", [])
+        if rows:
+            pt.algorithm_comparison_panel(
+                rows, panels=("samples_per_sec", "acceptance",
+                              "p50_s", "ess_per_sec"),
+                name="fig7_algorithm_panel")
+            made.append("fig7_algorithm_panel")
     return made

@@ -62,6 +62,32 @@ def timed(stats: SamplingStats, n_samples: int):
     stats.samples_generated += n_samples
 
 
+def memory_snapshot() -> Dict[str, Any]:
+    """Host RSS + device memory stats (reference measures RSS via
+    `resource.getrusage`, experiments/dimension_scaling.py:768-797; on TPU
+    the interesting number is peak HBM from device memory_stats)."""
+    out: Dict[str, Any] = {}
+    try:
+        import resource
+        # ru_maxrss is KiB on Linux
+        out["peak_rss_mb"] = resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    except Exception:  # pragma: no cover - non-POSIX
+        pass
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats() or {}
+        for src, dst in (("bytes_in_use", "device_bytes_in_use"),
+                         ("peak_bytes_in_use", "device_peak_bytes_mb"),
+                         ("bytes_limit", "device_bytes_limit_mb")):
+            if src in stats:
+                v = stats[src]
+                out[dst] = v / 1e6 if dst.endswith("_mb") else v
+    except Exception:
+        pass
+    return out
+
+
 def compiled_cost(fn, *args) -> Dict[str, Any]:
     """FLOP/bytes estimate from the compiled executable's cost analysis."""
     import jax

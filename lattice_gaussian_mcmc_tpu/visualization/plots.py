@@ -189,6 +189,135 @@ class PlottingTools:
         self.save(fig, name, data={"rows": list(rows)})
         return fig
 
+    def delta_scaling(self, rows: Sequence[Dict],
+                      name: str = "delta_scaling"):
+        """Spectral-gap scaling: delta and the mixing-time proxy 1/delta vs
+        dimension, with the theoretical (1-delta)^t mixing-time overlay
+        (reference plots.py:356 `plot_delta_scaling`).
+
+        rows: dicts with keys `dimension`, `delta` and optionally
+        `delta_theory`.
+        """
+        rows = sorted(rows, key=lambda r: r["dimension"])
+        dims = [r["dimension"] for r in rows]
+        deltas = [max(r["delta"], 1e-300) for r in rows]
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 4))
+        ax1.semilogy(dims, deltas, "o-", label="empirical/MC")
+        if any("delta_theory" in r for r in rows):
+            ax1.semilogy(dims, [max(r.get("delta_theory", np.nan), 1e-300)
+                                for r in rows], "s--", label="theory")
+        ax1.set_xlabel("dimension n")
+        ax1.set_ylabel(r"spectral gap $\delta$")
+        ax1.legend()
+        tmix = [-np.log(0.01) / d for d in deltas]
+        ax2.semilogy(dims, tmix, "o-")
+        ax2.set_xlabel("dimension n")
+        ax2.set_ylabel(r"$t_{mix}(0.01) \leq \ln(1/\epsilon)/\delta$")
+        self.save(fig, name, data={"rows": list(rows)})
+        return fig
+
+    def algorithm_comparison_panel(self, rows: Sequence[Dict],
+                                   x_key: str = "dimension",
+                                   panels: Sequence[str] = (
+                                       "samples_per_sec", "acceptance",
+                                       "tvd", "ess_per_sec"),
+                                   group_key: str = "algorithm",
+                                   name: str = "algorithm_comparison_panel"):
+        """2x2 multi-panel algorithm comparison: one curve per algorithm per
+        panel metric (reference plots.py:863-935 `plot_algorithm_comparison`).
+
+        rows: flat dicts with `algorithm`, x_key and any of the panel keys.
+        Panels with no data are annotated rather than dropped so the layout
+        is stable for golden tests.
+        """
+        algos = sorted({r[group_key] for r in rows})
+        fig, axes = plt.subplots(2, 2, figsize=(9, 7))
+        for ax, metric in zip(axes.ravel(), panels):
+            plotted = False
+            for algo in algos:
+                pts = sorted(((r[x_key], r[metric]) for r in rows
+                              if r.get(group_key) == algo
+                              and r.get(metric) is not None),
+                             key=lambda p: p[0])
+                if pts:
+                    xs, ys = zip(*pts)
+                    ax.plot(xs, ys, "o-", label=str(algo))
+                    plotted = True
+            ax.set_xlabel(x_key)
+            ax.set_ylabel(metric)
+            if metric in ("samples_per_sec", "ess_per_sec", "tvd"):
+                ax.set_yscale("log")
+            if plotted:
+                ax.legend(fontsize=8)
+            else:
+                ax.annotate("no data", (0.5, 0.5),
+                            xycoords="axes fraction", ha="center")
+        fig.tight_layout()
+        self.save(fig, name, data={"rows": list(rows)})
+        return fig
+
+    def sensitivity_heatmap(self, rows: Sequence[Dict],
+                            x_key: str = "sigma_over_eta",
+                            y_key: str = "dimension",
+                            z_key: str = "acceptance",
+                            name: str = "sensitivity_heatmap"):
+        """Parameter-sensitivity heatmap over a (x, y) grid of experiment
+        rows, e.g. acceptance over (sigma/eta, dimension) (reference
+        plots.py:936-992 `plot_parameter_sensitivity`). Missing grid cells
+        render as NaN (blank)."""
+        xs = sorted({r[x_key] for r in rows})
+        ys = sorted({r[y_key] for r in rows})
+        grid = np.full((len(ys), len(xs)), np.nan)
+        for r in rows:
+            if r.get(z_key) is None:
+                continue
+            grid[ys.index(r[y_key]), xs.index(r[x_key])] = r[z_key]
+        fig, ax = plt.subplots()
+        im = ax.imshow(grid, origin="lower", aspect="auto", cmap="viridis")
+        ax.set_xticks(range(len(xs)), [f"{x:g}" for x in xs])
+        ax.set_yticks(range(len(ys)), [f"{y:g}" for y in ys])
+        ax.set_xlabel(x_key)
+        ax.set_ylabel(y_key)
+        fig.colorbar(im, ax=ax, label=z_key)
+        for (i, j), v in np.ndenumerate(grid):
+            if np.isfinite(v):
+                ax.text(j, i, f"{v:.2g}", ha="center", va="center",
+                        fontsize=7, color="w")
+        self.save(fig, name, data={"x": list(xs), "y": list(ys),
+                                   "z": grid.tolist(), "z_key": z_key})
+        return fig
+
+    def convergence_multipanel(self, chains, acf, tvd_decay: Sequence[Dict],
+                               log_ws, name: str = "convergence_multipanel"):
+        """4-panel convergence summary: trace, ACF, TVD decay, log-weight
+        histogram in one figure (reference plots.py:251-356
+        `plot_convergence_comparison` multi-panel layout)."""
+        x = np.asarray(chains)
+        a = np.asarray(acf)
+        lw = np.ravel(np.asarray(log_ws))
+        fig, axes = plt.subplots(2, 2, figsize=(9, 7))
+        axes[0, 0].plot(x[:, 0] if x.ndim > 1 else x, lw=0.6)
+        axes[0, 0].set_xlabel("step")
+        axes[0, 0].set_ylabel("x[0]")
+        axes[0, 1].stem(np.arange(len(a)), a, basefmt=" ")
+        axes[0, 1].set_xlabel("lag")
+        axes[0, 1].set_ylabel("ACF")
+        ts = [r["t"] for r in tvd_decay]
+        axes[1, 0].loglog(ts, [r["tvd"] for r in tvd_decay], "o-",
+                          label="empirical")
+        if tvd_decay and "bound" in tvd_decay[0]:
+            axes[1, 0].loglog(ts, [max(r["bound"], 1e-12) for r in tvd_decay],
+                              "--", label="$(1-\\delta)^t$")
+            axes[1, 0].legend()
+        axes[1, 0].set_xlabel("t")
+        axes[1, 0].set_ylabel("TVD")
+        axes[1, 1].hist(lw, bins=40, density=True)
+        axes[1, 1].set_xlabel("log w(x)")
+        axes[1, 1].set_ylabel("density")
+        fig.tight_layout()
+        self.save(fig, name)
+        return fig
+
     def qq_plot(self, samples, sigma: float, name: str = "qq"):
         """QQ plot of a coordinate vs the continuous Gaussian (reference
         :692)."""

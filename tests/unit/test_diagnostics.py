@@ -175,3 +175,28 @@ def test_mcse_spectral(rng):
     x = jnp.asarray(rng.normal(size=20_000))
     se = float(mcse_spectral(x))
     assert abs(se - 1 / np.sqrt(20_000)) < 3e-3
+
+
+def test_gs_decay_correlation(rng):
+    """Usage std tracks sigma/||b*_i|| when the sampler exercises the GS
+    profile (reference convergence.py:402-444)."""
+    from lattice_gaussian_mcmc_tpu.diagnostics.report import (
+        gs_decay_correlation,
+    )
+    g = np.geomspace(4.0, 0.5, 64)
+    sigma = 2.0
+    X = rng.normal(0, sigma / g[None, :], (4000, 64))
+    out = gs_decay_correlation(X, g, sigma)
+    assert out["log_gs_vs_log_usage_corr"] < -0.95
+    assert out["predicted_vs_observed_usage_corr"] > 0.95
+    assert out["usage_profile_ok"]
+    # starved sampler: flat usage regardless of the GS profile
+    Xflat = rng.normal(0, 1.0, (4000, 64))
+    bad = gs_decay_correlation(Xflat, g, sigma)
+    assert abs(bad["predicted_vs_observed_usage_corr"]) < 0.5
+
+
+def test_memory_snapshot_keys():
+    from lattice_gaussian_mcmc_tpu.utils.profiling import memory_snapshot
+    snap = memory_snapshot()
+    assert snap.get("peak_rss_mb", 0) > 10  # a real python process
