@@ -57,7 +57,8 @@ def _dispatch(name: str, output_dir: str, quick: bool):
         if quick:
             cfg = ScalingConfig(output_dir=cfg.output_dir,
                                 dimensions=(16, 32), n_samples=2_000,
-                                n_chains_grid=(256, 1024))
+                                n_chains_grid=(256, 1024),
+                                asymptotic_dims=(32, 64))
         out = run_scaling(cfg)
     elif name == "crypto":
         from lattice_gaussian_mcmc_tpu.experiments.configs import CryptoConfig
@@ -80,6 +81,7 @@ def _dispatch(name: str, output_dir: str, quick: bool):
         cfg = SensitivityConfig(output_dir=os.path.join(output_dir, name))
         if quick:
             cfg = SensitivityConfig(output_dir=cfg.output_dir, dimension=8,
+                                    sweep_dimensions=(4, 8),
                                     sigma_grid_size=7, n_samples=3_000)
         out = run_sensitivity(cfg)
     elif name == "validation":
@@ -141,8 +143,19 @@ def main(argv: List[str] | None = None) -> int:
             traceback.print_exc()
             summary.append({"experiment": name, "ok": False,
                             "gates_passed": None, "error": str(e)})
-    with open(os.path.join(args.output_dir, "run_summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+    # merge with any prior summary so partial runs don't erase other
+    # experiments' recorded status
+    path = os.path.join(args.output_dir, "run_summary.json")
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = {s["experiment"]: s for s in json.load(f)}
+        except (json.JSONDecodeError, KeyError, TypeError):
+            merged = {}
+    merged.update({s["experiment"]: s for s in summary})
+    with open(path, "w") as f:
+        json.dump([merged[k] for k in sorted(merged)], f, indent=2)
     return 0 if all(s["ok"] for s in summary) else 1
 
 

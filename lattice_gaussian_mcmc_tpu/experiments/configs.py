@@ -81,6 +81,7 @@ class CryptoConfig(ExperimentConfig):
 @dataclass
 class SensitivityConfig(ExperimentConfig):
     dimension: int = 16
+    sweep_dimensions: Sequence[int] = (8, 16, 32)  # sigma x dim grid
     sigma_grid_size: int = 17
     sigma_range: Tuple[float, float] = (0.25, 8.0)   # x eta
     reductions: Sequence[str] = ("none", "lll", "bkz")

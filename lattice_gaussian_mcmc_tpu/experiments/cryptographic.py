@@ -78,6 +78,7 @@ def evaluate_sampler_on(lat, sigma: float, cfg: CryptoConfig, key) -> Dict:
         jnp.asarray(np.asarray(X)[:, 0], jnp.float64)))
     return {
         "lattice": lat.name, "dimension": lat.n, "sigma": sigma,
+        "window": pre.window, "window_clamped": pre.clamped,
         "acceptance": float(acc.mean()) / n_steps,
         "spectral_gap": delta,
         "mixing_time_upper": mixing_time_bounds(delta)["upper"],

@@ -30,41 +30,50 @@ from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
 )
 
 
-def _test_basis(cfg: SensitivityConfig, dtype):
+def _test_basis(cfg: SensitivityConfig, dtype, n: Optional[int] = None):
     rng = np.random.default_rng(cfg.seed)
-    n = cfg.dimension
+    n = n or cfg.dimension
     B = np.triu(rng.uniform(-0.5, 0.5, (n, n))) + np.eye(n)
     np.fill_diagonal(B, 1.0)
     return lattice_from_basis(B, name=f"sens{n}", dtype=dtype)
 
 
 def sigma_sweep(cfg: Optional[SensitivityConfig] = None) -> Dict:
-    """Acceptance and spectral gap across sigma/eta in [lo, hi]; detects the
-    phase transition near sigma = eta (reference :176-226)."""
+    """Acceptance and spectral gap across a (sigma/eta, dimension) grid;
+    detects the phase transition near sigma = eta (reference :176-226,
+    :286-339 — the grid feeds the sensitivity heatmap, plots.py:936-992)."""
     cfg = cfg or SensitivityConfig()
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-    lat = _test_basis(cfg, dtype)
-    eta = float(smoothing_parameter(lat))
     key = jax.random.key(cfg.seed)
     lo, hi = cfg.sigma_range
     factors = np.geomspace(lo, hi, cfg.sigma_grid_size)
+    dims = tuple(cfg.sweep_dimensions) or (cfg.dimension,)
     rows: List[Dict] = []
-    for i, f in enumerate(factors):
-        sigma = f * eta
-        pre = klein_precompute(lat, sigma)
-        X0, lw0 = klein_sample_batch_blocked(jax.random.fold_in(key, i), pre,
-                                             2048, min(16, cfg.dimension))
-        _, _, acc = imhk_steps_batch_blocked(jax.random.fold_in(key, 100 + i),
-                                             pre, X0, lw0, 8,
-                                             min(16, cfg.dimension))
-        rows.append({"sigma_over_eta": float(f), "sigma": sigma,
-                     "acceptance": float(acc.mean()) / 8,
-                     "spectral_gap": float(spectral_gap_mc(lw0))})
-    # phase transition: largest gap increase between consecutive factors
-    gaps = np.array([r["spectral_gap"] for r in rows])
+    eta_by_dim = {}
+    for n in dims:
+        lat = _test_basis(cfg, dtype, n)
+        eta = float(smoothing_parameter(lat))
+        eta_by_dim[n] = eta
+        for i, f in enumerate(factors):
+            sigma = f * eta
+            pre = klein_precompute(lat, sigma)
+            k_i = jax.random.fold_in(key, 1000 * n + i)
+            X0, lw0 = klein_sample_batch_blocked(k_i, pre, 2048, min(16, n))
+            _, _, acc = imhk_steps_batch_blocked(
+                jax.random.fold_in(k_i, 1), pre, X0, lw0, 8, min(16, n))
+            rows.append({"dimension": n, "sigma_over_eta": float(f),
+                         "sigma": sigma,
+                         "acceptance": float(acc.mean()) / 8,
+                         "spectral_gap": float(spectral_gap_mc(lw0))})
+    # phase transition (at the primary dimension): largest gap increase
+    # between consecutive factors
+    prim = [r for r in rows if r["dimension"] == dims[min(
+        range(len(dims)), key=lambda j: abs(dims[j] - cfg.dimension))]]
+    gaps = np.array([r["spectral_gap"] for r in prim])
     jumps = np.diff(gaps)
     transition = float(factors[int(np.argmax(jumps)) + 1]) if len(jumps) else None
-    return {"rows": rows, "eta": eta, "phase_transition_at": transition}
+    return {"rows": rows, "eta_by_dim": eta_by_dim,
+            "eta": eta_by_dim[dims[0]], "phase_transition_at": transition}
 
 
 def reduction_sensitivity(cfg: Optional[SensitivityConfig] = None) -> List[Dict]:
