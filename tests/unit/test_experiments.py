@@ -116,3 +116,20 @@ def test_logging_run_file_and_phase(tmp_path, caplog):
     for h in list(root.handlers):
         if isinstance(h, logging.FileHandler):
             root.removeHandler(h)
+
+
+def test_klein_scaling_pipeline(tmp_path):
+    """C30 standalone pipeline: gen -> LLL -> sigma -> sample -> marginal
+    gate (reference klein_scaling_analysis.py)."""
+    from lattice_gaussian_mcmc_tpu.experiments.klein_scaling import (
+        run_klein_scaling,
+    )
+    rows = run_klein_scaling(dims=(8, 16), n_samples=20_000, seed=1,
+                             output_dir=str(tmp_path), make_plots=False)
+    assert [r["dimension"] for r in rows] == [8, 16]
+    for r in rows:
+        assert r["passed"], f"marginal TVD gate failed: {r}"
+        assert r["gs_ratio"] >= 1.0
+    assert (tmp_path / "klein_scaling.csv").exists()
+    data = json.loads((tmp_path / "klein_scaling.json").read_text())
+    assert data["all_passed"]
