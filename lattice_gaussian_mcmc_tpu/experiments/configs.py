@@ -94,7 +94,10 @@ class BenchmarkConfig(ExperimentConfig):
     algorithms: Sequence[str] = ("klein", "imhk", "direct", "peikert")
     dimensions: Sequence[int] = (16, 64, 256, 1024)
     n_samples: int = 50_000
-    n_chains: int = 4096
+    # batch must be large enough to amortize the per-dispatch overhead of
+    # the remote-execution tunnel (~35 ms) — at 4096 chains every cell is
+    # dispatch-bound, not kernel-bound
+    n_chains: int = 65_536
     warmup_runs: int = 1
     timed_runs: int = 3
     block: int = 128

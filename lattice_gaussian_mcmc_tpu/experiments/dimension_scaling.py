@@ -211,7 +211,8 @@ def asymptotic_analysis(cfg: Optional[ScalingConfig] = None) -> List[Dict]:
             from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
                 klein_sample_batch_pallas,
             )
-            B = max(B, tile)
+            # large batch to amortize the ~35 ms remote-dispatch overhead
+            B = max(16 * tile, 65_536)
             run = lambda k: klein_sample_batch_pallas(k, pre, B, tile=tile)
             impl = "pallas"
         else:

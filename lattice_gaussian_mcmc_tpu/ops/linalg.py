@@ -50,11 +50,12 @@ def babai_nearest_plane(Q, R, target):
     Pure scan — vmap over a batch of targets for throughput.
     """
     n = R.shape[0]
-    cprime = Q.T @ target
+    cprime = jnp.dot(Q.T, target, precision=jax.lax.Precision.HIGHEST)
     r_diag = jnp.diagonal(R)
 
     def body(x, i):
-        s = R[i, :] @ x  # rows above i contribute 0 because x[j]=0 for j<=i
+        s = jnp.dot(R[i, :], x,
+                    precision=jax.lax.Precision.HIGHEST)  # x[j]=0 for j<=i
         xi = jnp.round((cprime[i] - s) / r_diag[i])
         return x.at[i].set(xi), None
 
@@ -67,4 +68,4 @@ def decode_cvp(basis, Q, R, target):
     """Closest-vector decoding via nearest-plane; returns (lattice_point,
     coeffs) (reference src/lattices/base.py:137-156)."""
     x = babai_nearest_plane(Q, R, target)
-    return basis @ x, x
+    return jnp.dot(basis, x, precision=jax.lax.Precision.HIGHEST), x

@@ -131,13 +131,14 @@ def smk_step(key: jax.Array, state: ChainState, pre: KleinPrecomp,
 
     x = state.coeffs
     # recenter the Klein proposal at the current lattice point
-    point_x = pre.basis @ x
-    cs_x = (lattice_Q.T @ point_x) / r_diag
+    hp = jax.lax.Precision.HIGHEST
+    point_x = jnp.dot(pre.basis, x, precision=hp)
+    cs_x = jnp.dot(lattice_Q.T, point_x, precision=hp) / r_diag
     pre_x = pre.replace(cs=cs_x)
     y, _ = klein_sample(k_prop, pre_x)
 
-    point_y = pre.basis @ y
-    cs_y = (lattice_Q.T @ point_y) / r_diag
+    point_y = jnp.dot(pre.basis, y, precision=hp)
+    cs_y = jnp.dot(lattice_Q.T, point_y, precision=hp) / r_diag
     pre_y = pre.replace(cs=cs_y)
 
     from lattice_gaussian_mcmc_tpu.samplers.klein import klein_log_density
@@ -147,7 +148,7 @@ def smk_step(key: jax.Array, state: ChainState, pre: KleinPrecomp,
     # target pi ~ exp(-||B z - c||^2 / (2 sigma^2)); pre.cs holds the target
     # center in scaled-QR coordinates: ||B z - c||^2 = sum (r_i (z - c))^2
     def log_pi(z, cs_target):
-        resid = (pre.U @ z - cs_target) * r_diag
+        resid = (jnp.dot(pre.U, z, precision=hp) - cs_target) * r_diag
         return -0.5 * jnp.sum(resid * resid) / (pre.sigma ** 2)
 
     log_ratio = (log_pi(y, pre.cs) + log_q_x_given_y

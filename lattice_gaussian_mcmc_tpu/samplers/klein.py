@@ -96,7 +96,8 @@ def klein_precompute(lattice: Lattice, sigma, center=None,
     sigmas = sigma_arr / r_diag
     if center is None:
         center = jnp.zeros((lattice.n,), dtype=lattice.R.dtype)
-    cs = (lattice.Q.T @ jnp.asarray(center, dtype=lattice.R.dtype)) / r_diag
+    cs = jnp.dot(lattice.Q.T, jnp.asarray(center, dtype=lattice.R.dtype),
+                 precision=jax.lax.Precision.HIGHEST) / r_diag
     clamped = False
     if window is None:
         try:  # concrete values -> adapt the window; traced -> default
@@ -131,7 +132,8 @@ def _klein_scan(key: jax.Array, pre: KleinPrecomp):
     def body(x, i):
         # rows j <= i of x are still 0, so the full-row dot equals the
         # sum over j > i (U has unit diagonal; x[i] = 0 here).
-        c_i = pre.cs[i] - pre.U[i] @ x
+        c_i = pre.cs[i] - jnp.dot(pre.U[i], x,
+                                  precision=jax.lax.Precision.HIGHEST)
         k_i = jax.random.fold_in(key, i)
         z, logZ = sample_dgauss_with_logz(k_i, c_i, pre.sigmas[i], pre.window)
         return x.at[i].set(z), logZ
@@ -162,7 +164,7 @@ def klein_sample_batch(key: jax.Array, pre: KleinPrecomp, num_samples: int):
 
 def klein_points(basis, coeffs):
     """Map integer coefficients to lattice points: basis @ x (batched)."""
-    return coeffs @ basis.T
+    return jnp.dot(coeffs, basis.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def klein_log_density(coeffs, pre: KleinPrecomp):
@@ -174,7 +176,7 @@ def klein_log_density(coeffs, pre: KleinPrecomp):
     Accepts (n,) or (B, n) coeffs.
     """
     def one(x):
-        ux = pre.U @ x
+        ux = jnp.dot(pre.U, x, precision=jax.lax.Precision.HIGHEST)
         c = pre.cs - ux + x  # c_i = cs_i - sum_{j>i} U_ij x_j
         _, logits = dgauss_logits(c, pre.sigmas, pre.window)
         logZ = logsumexp(logits, axis=-1)
@@ -191,7 +193,7 @@ def klein_log_weight(coeffs, pre: KleinPrecomp):
     """log w(x) = log pi~(x) - log q(x) = sum_i log Z_i(c_i, sigma_i) at x —
     evaluated in parallel for arbitrary x (not just fresh proposals)."""
     def one(x):
-        ux = pre.U @ x
+        ux = jnp.dot(pre.U, x, precision=jax.lax.Precision.HIGHEST)
         c = pre.cs - ux + x
         _, logits = dgauss_logits(c, pre.sigmas, pre.window)
         return jnp.sum(logsumexp(logits, axis=-1))

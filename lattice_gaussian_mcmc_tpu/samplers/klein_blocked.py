@@ -17,6 +17,12 @@ PRNG note: this path draws each row's B-wide batch from one folded key
 (key -> fold_in(row)), so its stream differs from the vmapped per-chain
 sampler (which folds chain then row). Both are exact samplers of the same
 law; bitwise equality holds within a path, not across paths.
+
+Precision note: XLA's DEFAULT f32 dot on TPU is a single bf16 MXU pass
+(~4e-3 relative), which would distort conditional means the same way the
+unsplit Pallas kernel did (see ops/kernels/klein_pallas.py). All dots here
+run at Precision.HIGHEST — XLA's multi-pass f32 algorithm, fast outside
+Mosaic; on CPU (tests, f64 reference path) it is a no-op.
 """
 
 from __future__ import annotations
@@ -81,7 +87,8 @@ def klein_sample_batch_blocked(key: jax.Array, pre: KleinPrecomp,
                      T_blk=T_blk, key_blk=key_blk):
             Xb, lw = carry
             # row r of the block: conditional mean from within-block coords
-            s_in = Xb @ U_blk[r]              # (B,)
+            s_in = jnp.dot(Xb, U_blk[r],
+                           precision=jax.lax.Precision.HIGHEST)  # (B,)
             c = cs_blk[r] - T_blk[:, r] - s_in
             z, logZ = sample_dgauss_icdf_with_logz(
                 jax.random.fold_in(key_blk, r), c, sg_blk[r], ppre.window)
@@ -96,7 +103,8 @@ def klein_sample_batch_blocked(key: jax.Array, pre: KleinPrecomp,
             # one MXU matmul updates every earlier row's tail sum
             T = T.at[:, :lo].add(
                 jnp.dot(Xb, ppre.U[:lo, lo:hi].T,
-                        preferred_element_type=dtype))
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST))
 
     return X[:, :n_real], logw
 
