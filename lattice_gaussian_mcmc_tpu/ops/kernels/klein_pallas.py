@@ -117,8 +117,8 @@ def pallas_supported() -> bool:
         return False
 
 
-def _kernel(seed_ref, u_ref, ul_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
-            n, window, host_rng, tile, fused_mh, n_steps=1):
+def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
+            unif_ref, *rest, n, window, host_rng, tile, fused_mh, n_steps=1):
     """One program: sample `tile` chains end-to-end.
 
     Refs:
@@ -127,6 +127,12 @@ def _kernel(seed_ref, u_ref, ul_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
                 upper-triangular U (unit diagonal)
       ul_ref:   (n, n) f32 VMEM — split residual U - u_ref (see precision
                 note above); every coupling dot is u_ref@x + ul_ref@x
+      uw_ref:   (n, 2*BLOCK) f32 VMEM — per-row within-block split operand:
+                uw[i, :BLOCK] = Uh[i, blk], uw[i, BLOCK:] = Ulo[i, blk]
+                (blk = i's own 128-block). Lets the within-block coupling be
+                ONE K=256 dot against the mirrored state scratch instead of
+                two K=128 dots — the row loop is MXU-op-latency-bound, so op
+                count is what matters.
       ud_ref:   (n, GROUP) f32 VMEM — diagonal-block table of the FULL U:
                 ud[i, d] = U[i, (i//8)*8 + d] (used elementwise on the VPU,
                 so it needs no split)
@@ -147,19 +153,23 @@ def _kernel(seed_ref, u_ref, ul_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
     """
     if fused_mh:
         (xold_ref, lwold_ref, accold_ref,
-         x_ref, lw_ref, acc_ref, t_ref, z_ref, c8_ref, is8_ref,
+         x_ref, lw_ref, acc_ref, t_ref, z_ref, c8_ref, is8_ref, xx_ref,
          p_ref) = rest
         del xold_ref  # aliased to x_ref (input_output_aliases); state is x_ref
     else:
-        x_ref, lw_ref, t_ref, z_ref, c8_ref, is8_ref = rest
+        x_ref, lw_ref, t_ref, z_ref, c8_ref, is8_ref, xx_ref = rest
     prog = pl.program_id(0)
     if not host_rng:
         pltpu.prng_seed(seed_ref[0, 0] + prog * 7919)
 
-    # lower-triangular ones (window x window) for cumsum-as-matmul
-    row_w = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (window, window), 1)
-    tril = (col_w <= row_w).astype(jnp.float32)
+    # doubled lower-triangular ones (window x 2*window) for the bf16-split
+    # cumsum as ONE matmul: cdf = [tril | tril] @ [w_hi; w_lo]. The MXU pads
+    # the contraction dim to 128 regardless, so K=2*window costs the same
+    # MXU passes as K=window — the split is free.
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (window, 2 * window), 0)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (window, 2 * window), 1)
+    col_mod = jnp.where(col_w < window, col_w, col_w - window)
+    tril2 = (col_mod <= row_w).astype(jnp.float32)
     offs = (jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
             .astype(jnp.float32) - window // 2)
 
@@ -185,11 +195,11 @@ def _kernel(seed_ref, u_ref, ul_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
         w2 = window // 2
         m = logits[w2:w2 + 1, :]
         w = jnp.exp(logits - m)
-        # bf16-split cumsum: w_hi is bf16-exact so its MXU pass is exact;
-        # the residual pass contributes the (tiny) correction
+        # bf16-split cumsum in ONE matmul: w_hi is bf16-exact so its MXU
+        # pass is exact; the stacked residual contributes the correction
         w_hi, w_lo = _bf16_split_bits(w)
-        cdf = (jnp.dot(tril, w_hi, preferred_element_type=jnp.float32)
-               + jnp.dot(tril, w_lo, preferred_element_type=jnp.float32))
+        wcat = jnp.concatenate([w_hi, w_lo], axis=0)  # (2*window, tile)
+        cdf = jnp.dot(tril2, wcat, preferred_element_type=jnp.float32)
         total = cdf[window - 1:window, :]
         target = u01 * total
         idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
@@ -225,13 +235,14 @@ def _kernel(seed_ref, u_ref, ul_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
                                       preferred_element_type=jnp.float32))
             else:
                 t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
+            # mirrored within-block state (both halves track out_ref[lo:hi])
+            xx_ref[:] = jnp.zeros((2 * BLOCK, tile), jnp.float32)
 
             def group_body(g, carry, *, lo=lo, hi=hi):
                 lw, comp = carry
                 r8 = pl.multiple_of(BLOCK - GROUP - g * GROUP, GROUP)  # top 1st
                 i8 = pl.multiple_of(lo + r8, GROUP)
-                u8 = u_ref[pl.ds(i8, GROUP), lo:hi]   # (8, BLOCK)
-                u8l = ul_ref[pl.ds(i8, GROUP), lo:hi]
+                u8w = uw_ref[pl.ds(i8, GROUP), :]     # (8, 2*BLOCK)
                 ud8 = ud_ref[pl.ds(i8, GROUP), :]     # (8, 8)
                 t8 = t_ref[pl.ds(r8, GROUP), :]       # (8, tile)
                 # lane-only splat (8,1)->(8,tile), materialized through VMEM
@@ -250,13 +261,13 @@ def _kernel(seed_ref, u_ref, ul_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
                 else:
                     un8 = uniform_block((GROUP, tile))
 
-                # tail within block from rows already written: out_ref[lo:hi]
-                # is constant during this group (the group's own rows are
-                # still zero there, their coupling comes from z_ref via ud8),
-                # so one (8, BLOCK) matmul covers all 8 rows.
-                xb = out_ref[lo:hi, :]
-                s8 = (jnp.dot(u8, xb, preferred_element_type=jnp.float32)
-                      + jnp.dot(u8l, xb, preferred_element_type=jnp.float32))
+                # tail within block from rows already written: the mirrored
+                # state xx_ref is constant during this group (the group's
+                # own rows are still zero there, their coupling comes from
+                # z_ref via ud8), so ONE (8, 2*BLOCK) matmul covers all 8
+                # rows of both split halves.
+                s8 = jnp.dot(u8w, xx_ref[:],
+                             preferred_element_type=jnp.float32)
                 for d in range(GROUP - 1, -1, -1):
                     # coupling to rows of this group (still only in z_ref)
                     c = cs8[d:d + 1, :] - t8[d:d + 1, :] - s8[d:d + 1, :]
@@ -271,6 +282,9 @@ def _kernel(seed_ref, u_ref, ul_ref, ud_ref, cs_ref, isg_ref, unif_ref, *rest,
                     comp = (t - lw) - y
                     lw = t
                 out_ref[pl.ds(i8, GROUP), :] = z_ref[:]
+                xx_ref[pl.ds(r8, GROUP), :] = z_ref[:]
+                xx_ref[pl.ds(pl.multiple_of(BLOCK + r8, GROUP), GROUP),
+                       :] = z_ref[:]
                 return lw, comp
 
             lw, comp = jax.lax.fori_loop(0, BLOCK // GROUP,
@@ -326,6 +340,12 @@ def _kernel_operands(ppre):
     U = ppre.U.astype(jnp.float32)
     Uh, Ulo = _bf16_split(U)
     ud = _diag_block_table(U)
+    # within-block split operand for the single-dot s8 coupling:
+    # uw[i] = [Uh[i, blk(i)] | Ulo[i, blk(i)]]
+    rows = jnp.arange(n)
+    blk_cols = (rows // BLOCK)[:, None] * BLOCK + jnp.arange(BLOCK)[None, :]
+    uw = jnp.concatenate([Uh[rows[:, None], blk_cols],
+                          Ulo[rows[:, None], blk_cols]], axis=1)
     k = jnp.round(ppre.cs.astype(jnp.float32))
     cs_eff = ppre.cs.astype(jnp.float32) - jnp.dot(
         U, k, preferred_element_type=jnp.float32,
@@ -333,7 +353,7 @@ def _kernel_operands(ppre):
     cs = jnp.asarray(jnp.broadcast_to(cs_eff[:, None], (n, 128)))
     isg = jnp.asarray(jnp.broadcast_to(
         (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, 128)))
-    return Uh, Ulo, ud, cs, isg, k
+    return Uh, Ulo, uw, ud, cs, isg, k
 
 
 @functools.partial(jax.jit,
@@ -360,7 +380,7 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
     k_seed, k_unif = jax.random.split(key)
     seed = jax.random.randint(k_seed, (1, 1), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
-    Uh, Ulo, ud, cs, isg, kshift = _kernel_operands(ppre)
+    Uh, Ulo, uw, ud, cs, isg, kshift = _kernel_operands(ppre)
     if host_rng:
         unif = jax.random.uniform(k_unif, (n, B), dtype=jnp.float32)
     else:  # tiny placeholder (never read)
@@ -375,6 +395,8 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 2 * BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 128), lambda i: (0, 0),
@@ -399,11 +421,12 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
             pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
+            pltpu.VMEM((2 * BLOCK, tile), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, Uh, Ulo, ud, cs, isg, unif)
+    )(seed, Uh, Ulo, uw, ud, cs, isg, unif)
     return x[:n_real, :].T + kshift[None, :n_real], lw[0]
 
 
@@ -425,7 +448,7 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
 
     seed = jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
-    Uh, Ulo, ud, cs, isg, kshift = _kernel_operands(ppre)
+    Uh, Ulo, uw, ud, cs, isg, kshift = _kernel_operands(ppre)
     unif = jnp.zeros((8, B), dtype=jnp.float32)  # placeholder
 
     # pad coeff state rows up to n (padded coords are always 0); the kernel
@@ -444,6 +467,8 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 2 * BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 128), lambda i: (0, 0),
@@ -477,16 +502,17 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
             pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
+            pltpu.VMEM((2 * BLOCK, tile), jnp.float32),
             pltpu.VMEM((n, tile), jnp.float32),
         ],
         # the chain state (xold, lwold, accold) is updated in place across
         # the fused steps — alias it with the outputs so only ONE (n, B)
         # state buffer exists in VMEM per program
-        input_output_aliases={7: 0, 8: 1, 9: 2},
+        input_output_aliases={8: 0, 9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, Uh, Ulo, ud, cs, isg, unif, xold, lwold, accold)
+    )(seed, Uh, Ulo, uw, ud, cs, isg, unif, xold, lwold, accold)
     return x[:n_real, :].T + kshift[None, :n_real], lw[0], acc_out[0]
 
 
