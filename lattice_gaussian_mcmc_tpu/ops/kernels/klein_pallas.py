@@ -38,23 +38,42 @@ statistically against the f64 XLA path (scripts/validate_pallas_scale.py):
 per-coordinate moments within 3 SE, log-weight noise 2.5e-4 (bf16-split
 dots + Kahan accumulation; see the precision note below), acceptance within
 4 binomial SE in both smooth and hard sigma regimes.
-Throughput: 4.97M fused IMHK samples/s at n=512 NTRU (dim 1024), 524288
-chains, tile=4096 (7.38M before the precision fix — the split's 2x MXU
-passes cost ~30%): wide tiles amortize the per-row latency of the
-sequential backward substitution; cs/isg are stored (n, 128) and lane-splat
-in-kernel so VMEM goes to chain state (vmem_limit raised to 100 MB, far
-above XLA's 16 MB scoped default); n_steps run inside one dispatch with the
-chain state VMEM-resident (input/output buffer aliasing), eliminating
-per-step dispatch (~35 ms on the remote tunnel) and HBM round-trips.
+Throughput: 7.4M fused IMHK samples/s at n=512 NTRU (dim 1024), 524288
+chains, tile=4096, with the full bf16-split precision fix (r2's split cost
+~22%; r3 recovered it without giving up exactness). The r3 round of tuning
+was driven by ablation profiling (scripts/profile_kernel.py): the 1D-draw
+VPU passes — not the MXU matmuls — are ~50% of the step, so
+- cs/isg live in SMEM and are read as per-row SCALARS (kills the old
+  (8, tile) lane-splat round-trips per group, ~8%),
+- the max-shifted logits use the algebraic form -isg^2 (offs^2/2 +
+  delta*offs) — 3 elementwise passes instead of 6,
+- log-normalizers pay ONE log per 8-row group via the product of totals
+  (each total in [1, window], so the product is f32-exact territory),
+- the split CDF stays a SINGLE [tril|tril] @ concat(w_hi, w_lo) matmul:
+  two separate dots are ~17% slower (two dependent MXU issues on the
+  serial critical path), the concat's VPU copies are cheaper.
+Wide tiles amortize the per-row latency of the sequential backward
+substitution (vmem_limit raised to 100 MB, far above XLA's 16 MB scoped
+default); n_steps run inside one dispatch with the chain state
+VMEM-resident (input/output buffer aliasing), eliminating per-step
+dispatch (~35 ms on the remote tunnel) and HBM round-trips.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# perf-tuning escape hatch (read at import): "concat" computes the bf16-split
+# CDF as ONE dot [tril|tril]@concat(w_hi, w_lo); "twodot" as tril@w_hi +
+# tril@w_lo. Measured on v5e (n=1024, window=24, tile=4096): concat 5.72 vs
+# twodot 4.75 M samples/s — the two dependent MXU issues on the serial
+# row-loop critical path cost more than the concatenate's VPU copies.
+_CDF_MODE = os.environ.get("KLEIN_CDF_MODE", "concat")
 
 from lattice_gaussian_mcmc_tpu.samplers.klein import KleinPrecomp
 
@@ -118,7 +137,8 @@ def pallas_supported() -> bool:
 
 
 def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
-            unif_ref, *rest, n, window, host_rng, tile, fused_mh, n_steps=1):
+            unif_ref, *rest, n, window, host_rng, tile, fused_mh, n_steps=1,
+            traj_every=0, traj_coeffs=False, ablate=frozenset()):
     """One program: sample `tile` chains end-to-end.
 
     Refs:
@@ -136,14 +156,29 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
       ud_ref:   (n, GROUP) f32 VMEM — diagonal-block table of the FULL U:
                 ud[i, d] = U[i, (i//8)*8 + d] (used elementwise on the VPU,
                 so it needs no split)
-      cs_ref:   (n, 128) f32 VMEM — scaled center (lane 0 meaningful; stored
-                128-wide for alignment, splat to tile lanes in-kernel)
-      isg_ref:  (n, 128) f32 VMEM — inverse conditional sigmas, same
+      cs_ref:   (1, n) f32 SMEM — scaled center. Read as per-row SCALARS:
+                a scalar broadcasts against (1, tile) vectors natively,
+                where the old (n, 128) VMEM layout needed a materialized
+                lane-splat round-trip per 8-row group (measured ~8% of the
+                fused step).
+      isg_ref:  (1, n) f32 SMEM — inverse conditional sigmas, same
       unif_ref: (*, tile) f32 VMEM — host uniforms (host_rng only)
       x_ref:    (n, tile) f32 out — integer-valued coefficients
       lw_ref:   (1, tile) f32 out — summed log Z (IMHK log weight)
       t_ref:    (BLOCK, tile) f32 scratch — cross-block tail sums
       z_ref:    (GROUP, tile) f32 scratch — current group's draws
+
+    `ablate` is a profiling-only hook (scripts/profile_kernel.py): a
+    frozenset of phase names whose work is skipped/simplified so the phase's
+    wall-clock share can be measured by differencing. Ablated kernels are
+    statistically WRONG — never use outside profiling. Names:
+      no_ulo_cross  skip the cross-block split-residual (Ulo) dot
+      no_split_s8   within-block coupling via K=128 Uh-only dot
+      no_split_cdf  single K=window CDF matmul on unsplit weights
+      no_cdf_matmul skip the CDF cumsum matmul entirely (fake index)
+      no_exp        skip the exp in the 1D weights
+      no_prng       constant uniforms (skips prng_random_bits)
+      no_sample     replace the whole 1D draw with round(c)
 
     With fused_mh, three extra inputs (xold, lwold, accold) precede the
     outputs and an acc output follows: the kernel performs the IMHK
@@ -151,30 +186,50 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
     alternating executables cost ~100 ms/step in program switching on the
     remote-execution tunnel).
     """
-    if fused_mh:
+    if fused_mh and traj_every > 0:
+        # trajectory mode: extra HBM ring outputs (traj_lw always; traj_x
+        # when traj_coeffs) + a (1, tile) staging scratch and a DMA sem
+        if traj_coeffs:
+            (xold_ref, lwold_ref, accold_ref,
+             x_ref, lw_ref, acc_ref, tlw_ref, tx_ref,
+             t_ref, z_ref, xx_ref, p_ref,
+             lws_ref, dma_sem) = rest
+        else:
+            (xold_ref, lwold_ref, accold_ref,
+             x_ref, lw_ref, acc_ref, tlw_ref,
+             t_ref, z_ref, xx_ref, p_ref,
+             lws_ref, dma_sem) = rest
+            tx_ref = None
+        del xold_ref
+    elif fused_mh:
         (xold_ref, lwold_ref, accold_ref,
-         x_ref, lw_ref, acc_ref, t_ref, z_ref, c8_ref, is8_ref, xx_ref,
+         x_ref, lw_ref, acc_ref, t_ref, z_ref, xx_ref,
          p_ref) = rest
         del xold_ref  # aliased to x_ref (input_output_aliases); state is x_ref
     else:
-        x_ref, lw_ref, t_ref, z_ref, c8_ref, is8_ref, xx_ref = rest
+        x_ref, lw_ref, t_ref, z_ref, xx_ref = rest
     prog = pl.program_id(0)
     if not host_rng:
         pltpu.prng_seed(seed_ref[0, 0] + prog * 7919)
 
-    # doubled lower-triangular ones (window x 2*window) for the bf16-split
-    # cumsum as ONE matmul: cdf = [tril | tril] @ [w_hi; w_lo]. The MXU pads
-    # the contraction dim to 128 regardless, so K=2*window costs the same
-    # MXU passes as K=window — the split is free.
-    row_w = jax.lax.broadcasted_iota(jnp.int32, (window, 2 * window), 0)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (window, 2 * window), 1)
+    # lower-triangular ones (window x window) for the cumsum-as-matmul; the
+    # bf16-split correctness comes from TWO dots cdf = tril@w_hi + tril@w_lo
+    # (ablation profiling showed the MXU passes are ~free — the old
+    # single-dot [tril|tril] @ concat(w_hi, w_lo) formulation paid ~10% of
+    # the whole step in the (2*window, tile) concatenate's VPU copies)
+    kw = 2 * window if _CDF_MODE == "concat" else window
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (window, kw), 0)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (window, kw), 1)
     col_mod = jnp.where(col_w < window, col_w, col_w - window)
-    tril2 = (col_mod <= row_w).astype(jnp.float32)
+    tril = (col_mod <= row_w).astype(jnp.float32)
     offs = (jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
             .astype(jnp.float32) - window // 2)
+    offs_half = 0.5 * offs * offs            # (window, 1) constant
 
 
     def uniform_block(shape):
+        if "no_prng" in ablate:
+            return jnp.full(shape, 0.5, jnp.float32)
         # mantissa trick (no uint32->f32 cast in Mosaic): 23 random
         # mantissa bits | exponent(1.0) -> [1, 2); minus 1 -> [0, 1)
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
@@ -183,31 +238,67 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
         return pltpu.bitcast(fbits, jnp.float32) - 1.0
 
     def sample_row(c, isg_row, u01):
-        """Draw `tile` variates around centers c (1, tile); isg_row (1, tile);
-        u01 (1, tile) uniforms. Returns (z, logZ) each (1, tile)."""
+        """Draw `tile` variates around centers c (1, tile); isg_row a scalar
+        (or (1, tile)); u01 (1, tile) uniforms.
+
+        Returns (z, m, total) each (1, tile) with the per-coordinate
+        log-normalizer logZ = m + log(total) left UN-ASSEMBLED: the caller
+        sums m over an 8-row group and multiplies the totals (each in
+        [1, window], so a group product is < window^8 — exactly f32-safe)
+        to pay for ONE log per group instead of one per row.
+
+        Max-shifted logits via the algebraic identity
+          logits_k - m = -isg^2 * (offs_k^2/2 + delta*offs_k),
+        delta = base - c in [-1/2, 1/2]: 3 elementwise (window, tile)
+        passes instead of the naive 6 (support/zsc/square/shift) — the 1D
+        draw machinery is ~50% of the fused step (ablation profile), so
+        VPU passes here are the scarce resource. m = logits at the center
+        row (base = round(c) is the closest support point, so the shift is
+        an exact max-shift as before).
+        """
         base = jnp.round(c)
-        support = base + offs                     # (window, tile)
-        zsc = (support - c) * isg_row             # sublane broadcasts only
-        logits = -0.5 * zsc * zsc
-        # the max logit is at the center row: base = round(c) is the closest
-        # support point (ties are equal-valued), so slicing replaces a
-        # (window, tile) max reduction exactly
-        w2 = window // 2
-        m = logits[w2:w2 + 1, :]
-        w = jnp.exp(logits - m)
-        # bf16-split cumsum in ONE matmul: w_hi is bf16-exact so its MXU
-        # pass is exact; the stacked residual contributes the correction
-        w_hi, w_lo = _bf16_split_bits(w)
-        wcat = jnp.concatenate([w_hi, w_lo], axis=0)  # (2*window, tile)
-        cdf = jnp.dot(tril2, wcat, preferred_element_type=jnp.float32)
-        total = cdf[window - 1:window, :]
-        target = u01 * total
-        idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
-                      keepdims=True)
+        if "no_sample" in ablate:
+            one = base * 0.0 + 1.0
+            return base, base * 1e-8, one
+        delta = base - c                          # (1, tile), in [-.5, .5]
+        a = isg_row * isg_row
+        lm = -a * (offs_half + delta * offs)      # logits - m, (window, tile)
+        m = (-0.5) * a * (delta * delta)          # (1, tile)
+        if "no_exp" in ablate:
+            w = 1.0 + lm
+        else:
+            w = jnp.exp(lm)
+        if "no_cdf_matmul" in ablate:
+            total = jnp.sum(w, axis=0, keepdims=True)
+            idx = jnp.round(u01 * float(window - 1))
+        elif "no_split_cdf" in ablate:
+            cdf = jnp.dot(tril[:, :window], w,
+                          preferred_element_type=jnp.float32)
+            total = cdf[window - 1:window, :]
+            target = u01 * total
+            idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
+                          keepdims=True)
+        else:
+            # bf16-split cumsum: w_hi is bf16-exact so its MXU pass is
+            # exact; the residual contributes the correction (see
+            # _CDF_MODE for the two equivalent formulations)
+            w_hi, w_lo = _bf16_split_bits(w)
+            if _CDF_MODE == "concat":
+                wcat = jnp.concatenate([w_hi, w_lo], axis=0)
+                cdf = jnp.dot(tril, wcat,
+                              preferred_element_type=jnp.float32)
+            else:
+                cdf = (jnp.dot(tril, w_hi,
+                               preferred_element_type=jnp.float32)
+                       + jnp.dot(tril, w_lo,
+                                 preferred_element_type=jnp.float32))
+            total = cdf[window - 1:window, :]
+            target = u01 * total
+            idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
+                          keepdims=True)
         idx = jnp.clip(idx, 0.0, float(window - 1))
         z = base + idx - window // 2
-        logZ = m + jnp.log(total)
-        return z, logZ
+        return z, m, total
 
     nb = n // BLOCK
 
@@ -229,10 +320,12 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
             # cross-block tail contribution (MXU): (BLOCK, n-hi) @ (n-hi, tile)
             if hi < n:
                 xt = out_ref[hi:, :]
-                t_ref[:] = (jnp.dot(u_ref[lo:hi, hi:], xt,
-                                    preferred_element_type=jnp.float32)
-                            + jnp.dot(ul_ref[lo:hi, hi:], xt,
-                                      preferred_element_type=jnp.float32))
+                th = jnp.dot(u_ref[lo:hi, hi:], xt,
+                             preferred_element_type=jnp.float32)
+                if "no_ulo_cross" not in ablate:
+                    th = th + jnp.dot(ul_ref[lo:hi, hi:], xt,
+                                      preferred_element_type=jnp.float32)
+                t_ref[:] = th
             else:
                 t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
             # mirrored within-block state (both halves track out_ref[lo:hi])
@@ -245,16 +338,6 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
                 u8w = uw_ref[pl.ds(i8, GROUP), :]     # (8, 2*BLOCK)
                 ud8 = ud_ref[pl.ds(i8, GROUP), :]     # (8, 8)
                 t8 = t_ref[pl.ds(r8, GROUP), :]       # (8, tile)
-                # lane-only splat (8,1)->(8,tile), materialized through VMEM
-                # scratch: Mosaic cannot dual-broadcast, and a lazily
-                # replicated layout would trip that inside sample_row — the
-                # round-trip forces a concrete tiled layout.
-                c8_ref[:] = jnp.broadcast_to(cs_ref[pl.ds(i8, GROUP), 0:1],
-                                             (GROUP, tile))
-                is8_ref[:] = jnp.broadcast_to(isg_ref[pl.ds(i8, GROUP), 0:1],
-                                              (GROUP, tile))
-                cs8 = c8_ref[:]
-                isg8 = is8_ref[:]
                 # one PRNG/VMEM access per group instead of one per row
                 if host_rng:
                     un8 = unif_ref[pl.ds(i8, GROUP), :]
@@ -266,21 +349,37 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
                 # own rows are still zero there, their coupling comes from
                 # z_ref via ud8), so ONE (8, 2*BLOCK) matmul covers all 8
                 # rows of both split halves.
-                s8 = jnp.dot(u8w, xx_ref[:],
-                             preferred_element_type=jnp.float32)
+                if "no_split_s8" in ablate:
+                    s8 = jnp.dot(u8w[:, :BLOCK], xx_ref[:BLOCK, :],
+                                 preferred_element_type=jnp.float32)
+                else:
+                    s8 = jnp.dot(u8w, xx_ref[:],
+                                 preferred_element_type=jnp.float32)
+                msum = None
+                tprod = None
                 for d in range(GROUP - 1, -1, -1):
+                    # per-row center/width as SMEM SCALARS: they broadcast
+                    # against (1, tile) vectors natively, avoiding the old
+                    # materialized lane-splat round-trip per group
+                    cs_d = cs_ref[0, i8 + d]
+                    isg_d = isg_ref[0, i8 + d]
                     # coupling to rows of this group (still only in z_ref)
-                    c = cs8[d:d + 1, :] - t8[d:d + 1, :] - s8[d:d + 1, :]
+                    c = cs_d - t8[d:d + 1, :] - s8[d:d + 1, :]
                     for dp in range(d + 1, GROUP):
                         c = c - ud8[d:d + 1, dp:dp + 1] * z_ref[dp:dp + 1, :]
-                    z, logZ = sample_row(c, isg8[d:d + 1, :],
-                                         un8[d:d + 1, :])
+                    z, m, total = sample_row(c, isg_d, un8[d:d + 1, :])
                     z_ref[d:d + 1, :] = z
-                    # Kahan compensated add: lw + logZ
-                    y = logZ - comp
-                    t = lw + y
-                    comp = (t - lw) - y
-                    lw = t
+                    msum = m if msum is None else msum + m
+                    tprod = total if tprod is None else tprod * total
+                # group log-normalizer: sum_d (m_d + log total_d) with ONE
+                # log via the product of totals (each in [1, window], so
+                # the 8-row product stays far inside f32 range); Kahan
+                # compensated add into the running log weight
+                logZ8 = msum + jnp.log(tprod)
+                y = logZ8 - comp
+                t = lw + y
+                comp = (t - lw) - y
+                lw = t
                 out_ref[pl.ds(i8, GROUP), :] = z_ref[:]
                 xx_ref[pl.ds(r8, GROUP), :] = z_ref[:]
                 xx_ref[pl.ds(pl.multiple_of(BLOCK + r8, GROUP), GROUP),
@@ -305,6 +404,46 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
             x_ref[:] = jnp.where(accept, p_ref[:], x_ref[:])
             lw_st = jnp.where(accept, lw_prop, lw_st)
             acc_st = acc_st + accept.astype(jnp.float32)
+            if traj_every > 0:
+                # emit every traj_every-th post-step state to the HBM ring
+                # (trajectory semantics, reference imhk.py:196-229 —
+                # `sample(N, thin)` at fused-kernel speed). The DMA reads
+                # x_ref, so it must complete before the next step mutates
+                # the state; its cost (<=16 MB at ~0.8 TB/s) is well under
+                # a step's compute. HBM DMA slices must be 8-row aligned
+                # (Mosaic tiling), so the (1, tile) log-weight rows stage
+                # through an (8, tile) VMEM ring flushed every 8 keeps.
+                n_keep = n_steps // traj_every
+                keep = ((s + 1) % traj_every) == 0
+                k_idx = (s + 1) // traj_every - 1
+
+                @pl.when(keep)
+                def _():
+                    row = jax.lax.rem(k_idx, 8)
+                    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
+                    lws_ref[:] = jnp.where(iota8 == row, lw_st, lws_ref[:])
+                    flush = jnp.logical_or(row == 7, k_idx == n_keep - 1)
+
+                    @pl.when(flush)
+                    def _():
+                        base = pl.multiple_of((k_idx // 8) * 8, 8)
+                        cp = pltpu.make_async_copy(
+                            lws_ref,
+                            tlw_ref.at[pl.ds(base, 8),
+                                       pl.ds(prog * tile, tile)],
+                            dma_sem)
+                        cp.start()
+                        cp.wait()
+
+                    if traj_coeffs:
+                        off = pl.multiple_of(k_idx * n, 8)
+                        cp2 = pltpu.make_async_copy(
+                            x_ref,
+                            tx_ref.at[pl.ds(off, n),
+                                      pl.ds(prog * tile, tile)],
+                            dma_sem)
+                        cp2.start()
+                        cp2.wait()
             return lw_st, acc_st
 
         lw_f, acc_f = jax.lax.fori_loop(
@@ -350,20 +489,20 @@ def _kernel_operands(ppre):
     cs_eff = ppre.cs.astype(jnp.float32) - jnp.dot(
         U, k, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-    cs = jnp.asarray(jnp.broadcast_to(cs_eff[:, None], (n, 128)))
-    isg = jnp.asarray(jnp.broadcast_to(
-        (1.0 / ppre.sigmas).astype(jnp.float32)[:, None], (n, 128)))
+    cs = cs_eff[None, :]                              # (1, n) SMEM scalars
+    isg = (1.0 / ppre.sigmas).astype(jnp.float32)[None, :]
     return Uh, Ulo, uw, ud, cs, isg, k
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_samples", "interpret", "host_rng",
-                                    "tile"))
+                                    "tile", "ablate"))
 def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
                               num_samples: int,
                               interpret: bool = False,
                               host_rng: bool = False,
-                              tile: int = 256):
+                              tile: int = 256,
+                              ablate: frozenset = frozenset()):
     """Batched Klein draw via the Pallas kernel.
 
     Returns (coeffs (B, n), log_w (B,)). B must be a multiple of `tile`
@@ -387,7 +526,8 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
         unif = jnp.zeros((8, B), dtype=jnp.float32)
 
     kernel = functools.partial(_kernel, n=n, window=window,
-                               host_rng=host_rng, tile=tile, fused_mh=False)
+                               host_rng=host_rng, tile=tile, fused_mh=False,
+                               ablate=ablate)
     x, lw = pl.pallas_call(
         kernel,
         grid=(B // tile,),
@@ -399,10 +539,8 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((unif.shape[0], tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -419,8 +557,6 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
         scratch_shapes=[
             pltpu.VMEM((BLOCK, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
-            pltpu.VMEM((GROUP, tile), jnp.float32),
-            pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((2 * BLOCK, tile), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -431,10 +567,11 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "n_steps",
-                                              "interpret"))
+                                              "interpret", "ablate"))
 def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
                            acc, tile: int = 512, n_steps: int = 1,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           ablate: frozenset = frozenset()):
     """n_steps fused IMHK steps in ONE dispatch: Klein proposal + in-kernel
     Metropolis accept, chain state held in VMEM across steps (the xold input
     is buffer-aliased to the x output). coeffs (B, n), log_ws (B,), acc (B,)
@@ -459,7 +596,8 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
     accold = acc.astype(jnp.float32)[None, :]
 
     kernel = functools.partial(_kernel, n=n, window=window, host_rng=False,
-                               tile=tile, fused_mh=True, n_steps=n_steps)
+                               tile=tile, fused_mh=True, n_steps=n_steps,
+                               ablate=ablate)
     x, lw, acc_out = pl.pallas_call(
         kernel,
         grid=(B // tile,),
@@ -471,10 +609,8 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, GROUP), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, tile), lambda i: (0, i),
@@ -500,8 +636,6 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
         scratch_shapes=[
             pltpu.VMEM((BLOCK, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
-            pltpu.VMEM((GROUP, tile), jnp.float32),
-            pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((2 * BLOCK, tile), jnp.float32),
             pltpu.VMEM((n, tile), jnp.float32),
         ],
@@ -516,6 +650,110 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
     return x[:n_real, :].T + kshift[None, :n_real], lw[0], acc_out[0]
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "n_keep", "thin",
+                                              "traj_coeffs", "interpret"))
+def imhk_trajectory_pallas(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
+                           acc, n_keep: int, thin: int = 1, tile: int = 512,
+                           traj_coeffs: bool = True,
+                           interpret: bool = False):
+    """Trajectory-mode fused IMHK: run n_keep * thin steps in ONE dispatch,
+    emitting every thin-th post-step state to an HBM ring from inside the
+    kernel loop — the reference's `sample(N, thin)` trajectory contract
+    (reference src/samplers/imhk.py:196-229) at fused-Pallas speed, so
+    tau_int/ACF/ESS time-series diagnostics can run on the fast path.
+
+    Returns (coeffs (B, n), log_ws (B,), acc (B,),
+             traj_coeffs (n_keep, B, n) or None, traj_lw (n_keep, B)).
+
+    HBM budget note: the coeff ring is n_keep * n * B * 4 bytes — size the
+    batch accordingly (traj_coeffs=False keeps only the (n_keep, B) log-
+    weight ring, e.g. for acceptance/tau_int sweeps at large B).
+    """
+    from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import _pad_precomp
+    B = coeffs.shape[0]
+    assert B % tile == 0
+    ppre, n_real = _pad_precomp(pre, BLOCK)
+    n = ppre.U.shape[0]
+    window = pre.window
+    n_steps = n_keep * thin
+
+    seed = jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max,
+                              dtype=jnp.int32)
+    Uh, Ulo, uw, ud, cs, isg, kshift = _kernel_operands(ppre)
+    unif = jnp.zeros((8, B), dtype=jnp.float32)  # placeholder
+
+    xold = jnp.zeros((n, B), jnp.float32).at[:n_real, :].set(
+        coeffs.T.astype(jnp.float32) - kshift[:n_real, None])
+    lwold = log_ws.astype(jnp.float32)[None, :]
+    accold = acc.astype(jnp.float32)[None, :]
+
+    kernel = functools.partial(_kernel, n=n, window=window, host_rng=False,
+                               tile=tile, fused_mh=True, n_steps=n_steps,
+                               traj_every=thin, traj_coeffs=traj_coeffs)
+    n_keep_pad = ((n_keep + 7) // 8) * 8  # HBM DMA rows are 8-aligned
+    out_specs = [
+        pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),   # traj_lw HBM ring
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, B), jnp.float32),
+        jax.ShapeDtypeStruct((1, B), jnp.float32),
+        jax.ShapeDtypeStruct((1, B), jnp.float32),
+        jax.ShapeDtypeStruct((n_keep_pad, B), jnp.float32),
+    ]
+    if traj_coeffs:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((n_keep * n, B), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 2 * BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, GROUP), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, tile), jnp.float32),
+            pltpu.VMEM((GROUP, tile), jnp.float32),
+            pltpu.VMEM((2 * BLOCK, tile), jnp.float32),
+            pltpu.VMEM((n, tile), jnp.float32),
+            pltpu.VMEM((8, tile), jnp.float32),      # lw staging ring (DMA)
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={8: 0, 9: 1, 10: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(seed, Uh, Ulo, uw, ud, cs, isg, unif, xold, lwold, accold)
+    if traj_coeffs:
+        x, lw, acc_out, tlw, tx = outs
+        traj = (tx.reshape(n_keep, n, B)[:, :n_real, :]
+                + kshift[None, :n_real, None]).transpose(0, 2, 1)
+    else:
+        x, lw, acc_out, tlw = outs
+        traj = None
+    return (x[:n_real, :].T + kshift[None, :n_real], lw[0], acc_out[0],
+            traj, tlw[:n_keep])
+
+
 @jax.jit
 def _mh_accept(key, X, lw, Y, lw_y, acc):
     u = jax.random.uniform(key, lw.shape, dtype=lw.dtype,
@@ -528,7 +766,8 @@ def _mh_accept(key, X, lw, Y, lw_y, acc):
 
 def imhk_steps_batch_pallas(key: jax.Array, pre: KleinPrecomp, coeffs,
                             log_ws, n_steps: int, tile: int = 512,
-                            steps_per_dispatch: int = 64):
+                            steps_per_dispatch: int = 64,
+                            ablate: frozenset = frozenset()):
     """IMHK steps driven by the fused Pallas kernel: a single executable
     running `steps_per_dispatch` steps per dispatch with the chain state
     resident in VMEM (one dispatch total for typical n_steps). Per-step
@@ -541,7 +780,8 @@ def imhk_steps_batch_pallas(key: jax.Array, pre: KleinPrecomp, coeffs,
     while done < n_steps:
         k = min(steps_per_dispatch, n_steps - done)
         X, lw, acc = imhk_step_pallas_fused(jax.random.fold_in(key, t), pre,
-                                            X, lw, acc, tile=tile, n_steps=k)
+                                            X, lw, acc, tile=tile, n_steps=k,
+                                            ablate=ablate)
         done += k
         t += 1
     return X, lw, acc.astype(jnp.int32)

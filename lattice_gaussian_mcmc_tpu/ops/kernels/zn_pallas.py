@@ -106,8 +106,15 @@ def sample_zn_pallas(key: jax.Array, num: int, sigma, center=0.0,
     if host_rng:
         unif = jax.random.uniform(k_unif, (n_progs * rows, tile),
                                   dtype=jnp.float32)
-    else:  # tiny placeholder (never read)
-        unif = jnp.zeros((n_progs * rows, tile), dtype=jnp.float32)
+        unif_spec = pl.BlockSpec((rows, tile), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        # never read: a single (rows, tile) zeros block with a constant
+        # index map, so every program DMAs the SAME block instead of the
+        # full output-sized buffer (which would double HBM traffic)
+        unif = jnp.zeros((rows, tile), dtype=jnp.float32)
+        unif_spec = pl.BlockSpec((rows, tile), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, window=window, rows=rows, tile=tile,
                                host_rng=host_rng)
     out = pl.pallas_call(
@@ -116,8 +123,7 @@ def sample_zn_pallas(key: jax.Array, num: int, sigma, center=0.0,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((rows, tile), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            unif_spec,
         ],
         out_specs=pl.BlockSpec((rows, tile), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -92,6 +92,46 @@ def test_fused_imhk_hardware_hard_regime():
     assert abs(acc_rate - 0.9904) < 0.01
 
 
+@pytest.mark.skipif(jax.default_backend() not in ("tpu",),
+                    reason="fused path uses the TPU hardware PRNG")
+def test_trajectory_mode_hardware():
+    """Trajectory-mode fused kernel on real TPU: the HBM ring must carry a
+    genuine Markov-chain trajectory — final slot == final state, every kept
+    slab statistically at the target (after the kernel's own burn-in), and
+    acceptance counted across all steps."""
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        imhk_steps_batch_pallas,
+        imhk_trajectory_pallas,
+    )
+    import itertools
+    basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    sigma = 0.35
+    lat = lattice_from_basis(basis, dtype=jnp.float32)
+    pre = klein_precompute(lat, sigma)
+    B = 8192
+    key = jax.random.key(3)
+    X, lw = klein_sample_batch_pallas(key, pre, B, tile=1024)
+    X, lw, _ = imhk_steps_batch_pallas(jax.random.fold_in(key, 1), pre,
+                                       X, lw, 12, tile=1024)  # burn-in
+    Xf, lwf, acc, traj, tlw = imhk_trajectory_pallas(
+        jax.random.fold_in(key, 2), pre, X, lw,
+        jnp.zeros((B,), jnp.float32), n_keep=6, thin=2, tile=1024)
+    assert traj.shape == (6, B, 2) and tlw.shape == (6, B)
+    assert bool(jnp.all(traj[-1] == Xf))
+    np.testing.assert_allclose(np.asarray(tlw[-1]), np.asarray(lwf))
+    a = float(jnp.mean(acc)) / 12
+    assert 0.9 < a <= 1.0  # stationary acceptance here is 0.9904
+    # every kept slab is at the stationary law
+    coords = list(itertools.product(range(-8, 9), repeat=2))
+    pts = np.array(coords, float) @ basis.T
+    logp = -0.5 * np.sum(pts**2, 1) / sigma**2
+    p = np.exp(logp - logp.max())
+    p /= p.sum()
+    target = {tuple(map(int, c)): v for c, v in zip(coords, p)}
+    for k in (0, 3, 5):
+        assert tvd_dicts(empirical_dist(traj[k]), target) < 0.02
+
+
 def test_babai_pallas_matches_xla(key, rng):
     """Batched Babai kernel (interpret mode) == the XLA nearest-plane."""
     from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
