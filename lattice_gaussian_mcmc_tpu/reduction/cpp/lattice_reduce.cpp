@@ -21,8 +21,10 @@
 //   basis is row-major, n x n, rows are basis VECTORS. Returns 0 on success,
 //   nonzero on numerical failure (caller falls back to Python).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -198,6 +200,83 @@ struct Reducer {
   }
 
   double gs_norm2(int i) { return r[i][i]; }
+
+  // Raw row op b_p += c * b_q with exact Gram update and NO GSO update —
+  // the caller must recompute_all() before trusting mu/r again. Used by the
+  // general BKZ insertion below where ops go in both row directions.
+  void row_addmul_raw(int p, int q, i64 c) {
+    if (c == 0) return;
+    for (int k = 0; k < n; k++) b[p][k] += c * b[q][k];
+    i128 c128 = (i128)c;
+    i128 gpp = G[p][p] + 2 * c128 * G[p][q] + c128 * c128 * G[q][q];
+    for (int l = 0; l < n; l++) {
+      if (l == p) continue;
+      G[p][l] += c128 * G[q][l];
+      G[l][p] = G[p][l];
+    }
+    G[p][p] = gpp;
+  }
+
+  // Raw adjacent-free row swap (basis + Gram only; GSO left stale).
+  void swap_rows_raw(int a, int bb) {
+    std::swap(b[a], b[bb]);
+    std::swap(G[a], G[bb]);
+    for (int l = 0; l < n; l++) std::swap(G[l][a], G[l][bb]);
+  }
+
+  // General BKZ insertion: make row j equal v = sum_t x[t] * b[j+t]
+  // (x integer, not all zero) while keeping the rows a basis of the same
+  // lattice. This is what fplll's BKZ achieves by extending the block with
+  // v and LLL-ing out the linear dependency (reference
+  // src/lattices/reduction.py:275 semantics); here the dependency never
+  // exists: x is reduced to +-g * e_p by a sequence of 2-row unimodular
+  // Euclidean steps applied simultaneously to the basis. Identity used:
+  //   v = ... + x_p b_p + x_q b_q  ==  x_p (b_p + c b_q) + (x_q - c x_p) b_q
+  // so the coefficient step x_q -= c * x_p pairs with the row op
+  // b_p += c * b_q. Divides x by gcd(x) first (v/g is shorter and in the
+  // lattice). Leaves GSO stale; caller recomputes.
+  void insert_combination(int j, std::vector<i64> x) {
+    int m = (int)x.size();
+    // gcd division
+    i64 g = 0;
+    for (i64 v : x) g = std::__gcd(g, v < 0 ? -v : v);
+    if (g == 0) return;
+    if (g > 1)
+      for (auto& v : x) v /= g;
+    // Euclidean elimination to a single +-1 coefficient
+    while (true) {
+      int p = -1;
+      for (int t = 0; t < m; t++)
+        if (x[t] != 0 &&
+            (p < 0 || std::llabs(x[t]) < std::llabs(x[p])))
+          p = t;
+      bool others = false;
+      for (int t = 0; t < m; t++) {
+        if (t == p || x[t] == 0) continue;
+        others = true;
+        // c = nearest integer to x[t] / x[p]: strict reduction since
+        // |x[t]| >= |x[p]|
+        double cd = std::nearbyint((double)x[t] / (double)x[p]);
+        i64 c = (i64)cd;
+        if (c == 0) c = x[t] > 0 == x[p] > 0 ? 1 : -1;
+        x[t] -= c * x[p];
+        row_addmul_raw(j + p, j + t, c);
+      }
+      if (!others) {
+        if (x[p] < 0) {
+          for (int k = 0; k < n; k++) b[j + p][k] = -b[j + p][k];
+          for (int l = 0; l < n; l++) {
+            if (l == j + p) continue;
+            G[j + p][l] = -G[j + p][l];
+            G[l][j + p] = G[j + p][l];
+          }
+        }
+        // bubble the new short row down to position j
+        for (int t = j + p; t > j; t--) swap_rows_raw(t, t - 1);
+        return;
+      }
+    }
+  }
 };
 
 // Schnorr-Euchner enumeration (depth-first zig-zag).
@@ -308,28 +387,19 @@ int bkz_reduce(i64* basis, int n, int beta, double delta, int max_tours) {
                     beta >= 25);
       en.run();
       if (en.found) {
-        // insert sum_t x[t] b_{j+t} at position j when the last nonzero
-        // coefficient is +-1 (unimodular); otherwise skip insertion.
-        int last = -1;
-        for (int t = m - 1; t >= 0; t--)
-          if (std::fabs(en.best[t]) > 0.5) { last = t; break; }
-        if (last >= 0 &&
-            std::fabs(std::fabs(en.best[last]) - 1.0) < 1e-9) {
-          int row = j + last;
-          if (en.best[last] < 0) red.negate_row(row);
-          for (int t = 0; t < last; t++) {
-            double xt = en.best[t] * (en.best[last] < 0 ? -1.0 : 1.0);
-            // b_row += xt * b_{j+t}  ==  addmul(row, j+t, -xt)
-            if (std::fabs(xt) > 0.5)
-              red.addmul(row, j + t, (i64)std::nearbyint(-xt));
-          }
-          // move row into position j via adjacent swaps (O(n) GSO updates)
-          for (int t = row; t > j; t--) red.swap_adjacent(t);
-          rc = red.lll(delta);
-          if (rc != 0) return rc;
-          red.recompute_all();
-          improved = true;
-        }
+        // General insertion: ANY integer combination is inserted at
+        // position j via unimodular Euclidean row ops — nothing is
+        // silently skipped when the last nonzero coefficient is not +-1
+        // (fplll handles those by extending the block and LLL-ing out the
+        // dependency; insert_combination is the fixed-size equivalent).
+        std::vector<i64> x(m);
+        for (int t = 0; t < m; t++) x[t] = (i64)std::nearbyint(en.best[t]);
+        red.insert_combination(j, x);
+        red.recompute_all();
+        rc = red.lll(delta);
+        if (rc != 0) return rc;
+        red.recompute_all();
+        improved = true;
       }
     }
     if (!improved) break;

@@ -68,6 +68,25 @@ def test_bkz_improves_or_matches_lll(rng):
         np.linalg.slogdet(B.astype(float))[1], rtol=1e-9)
 
 
+def test_bkz_general_insertion_preserves_lattice(rng):
+    """General BKZ insertion (r3): enumeration solutions whose last nonzero
+    coefficient is not +-1 are inserted via unimodular Euclidean row ops
+    (reference fplll semantics, src/lattices/reduction.py:238-318) instead
+    of being silently skipped. The output must be the SAME lattice (integer
+    unimodular transform) with a shortest vector <= LLL's."""
+    if not native_available():
+        pytest.skip("needs the native library")
+    for trial in range(4):
+        B = _rand_basis(rng, n=20).astype(np.float64)
+        R = bkz_reduce(B, beta=10, max_tours=3)
+        U = np.linalg.solve(B, R)  # columns convention: R = B @ U
+        assert np.allclose(U, np.round(U), atol=1e-6), "non-integer transform"
+        assert abs(abs(np.linalg.det(np.round(U))) - 1.0) < 1e-6
+        sv_lll = np.min(np.linalg.norm(lll_reduce(B), axis=0))
+        sv_bkz = np.min(np.linalg.norm(R, axis=0))
+        assert sv_bkz <= sv_lll + 1e-9
+
+
 def test_quality_metrics(rng):
     B = _rand_basis(rng, n=6)
     prof = basis_quality_profile(B)
