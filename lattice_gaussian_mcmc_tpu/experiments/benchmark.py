@@ -63,12 +63,14 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
     B = cfg.n_chains
     n_samples = cfg.n_samples
 
-    if algorithm == "peikert" and n > 256:
-        # Peikert needs sigma >= r*s1(B); on unreduced q-ary bases at these
-        # dims that forces a degenerate (clamped) 1D window — not a
-        # meaningful cell (the reference has no Peikert bench). Bail before
-        # paying lattice construction + native LLL (~94 s at n=512).
-        return None
+    # Peikert validity note (kept in the row output): Peikert requires
+    # sigma >= r * s1(B) (spectral norm), which at crypto parameters is far
+    # above the Klein/IMHK operating point sigma ~ 1.3 max||b*|| — e.g. on
+    # NTRU-512 s1(B)/max||b*|| ~ 3-4x and r = eta(Z) ~ 4.6, so Peikert
+    # cannot run at the FALCON sigma at all (that is WHY Klein is the
+    # crypto workhorse). Large-dim Peikert rows therefore benchmark at the
+    # algorithm's own minimal valid sigma (1.05 r s1), marked in the row.
+    peikert_sigma_floor = None
 
     if algorithm == "direct":
         lat = identity_lattice(n, dtype=dtype)
@@ -82,7 +84,7 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
         else:
             def run(k=key):
                 return sample_zn(k, n=n, sigma=sigma, shape=(B,))
-    elif algorithm in ("klein", "imhk") and n >= 256:
+    elif algorithm in ("klein", "imhk", "peikert") and n >= 256:
         # q-ary bases at these dims keep unit Gram-Schmidt tails even after
         # LLL (min||b*|| = 1 while sigma ~ 1.5 q), which needs an enormous 1D
         # window; the reference's own large-dim Klein/IMHK benchmarks use
@@ -91,6 +93,15 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
         lat = ntru_lattice(n // 2, q=12289, seed=cfg.seed,
                            cache_dir="bench_cache", dtype=dtype)
         sigma = 1.3 * float(jnp.max(lat.gs_norms))
+        if algorithm == "peikert":
+            # Peikert's own minimal valid sigma (see the note above)
+            from lattice_gaussian_mcmc_tpu.ops.theta import (
+                smoothing_parameter_zn,
+            )
+            s1 = float(jnp.linalg.norm(lat.basis, ord=2))
+            peikert_sigma_floor = (1.05 * smoothing_parameter_zn(n, 0.01)
+                                   * s1)
+            sigma = max(sigma, peikert_sigma_floor)
     else:
         lat = qary_lattice(n, n // 2, q=3329, seed=cfg.seed, dtype=dtype)
         from lattice_gaussian_mcmc_tpu.reduction import lll_reduce
@@ -186,6 +197,12 @@ def run_benchmarks(cfg: Optional[BenchmarkConfig] = None) -> Dict:
     red = [bench_reduction(n, cfg) for n in cfg.dimensions if n <= 256]
     payload = {"sampling": results, "reduction": red,
                "device": str(jax.devices()[0])}
+    # load-bearing sanity gate: every benchmarked cell must have produced a
+    # finite positive rate (a silently broken sampler shows up as NaN/0
+    # rates long before a statistical test runs)
+    payload["all_passed"] = bool(
+        results and all(np.isfinite(r["samples_per_sec"]) and
+                        r["samples_per_sec"] > 0 for r in results))
     with open(os.path.join(out_dir, "benchmark_results.json"), "w") as f:
         json.dump(payload, f, indent=2, default=float)
     return payload

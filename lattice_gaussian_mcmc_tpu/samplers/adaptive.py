@@ -52,6 +52,13 @@ def f32_law_distortion_bound(pre: KleinPrecomp) -> float:
     row_l1 = np.abs(U - np.eye(U.shape[0])).sum(axis=1)
     # f32 sequential accumulation over the row: |c_err| <~ eps * sum|terms|
     c_err = 2.0 * eps32 * (row_l1 * x_scale + np.abs(np.asarray(pre.cs)))
+    # The Pallas path's bf16-split coupling dots are exact only while the
+    # recentered integer draws stay bf16-representable (|y| <= 2^8 = 256);
+    # beyond that each drawn coefficient picks up up to 2^-9 relative bf16
+    # rounding inside the MXU pass, which the f32 model above does not see.
+    # Inflate the bound by that term whenever the spread can exceed 256.
+    if x_scale > 256.0:
+        c_err = c_err + (2.0 ** -9) * x_scale * row_l1
     distortion = (c_err / np.maximum(sig, 1e-300)) * (pre.window / 2.0)
     return float(np.max(distortion))
 

@@ -246,13 +246,17 @@ def f32_cond_mean_error(U64, cs64, sig64, window, X, n_check=1024):
 
 
 def validate_regime(name, sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps,
-                    seed):
+                    seed, ks_seeds: int = 1):
     from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
     pre32 = klein_precompute(lat32, sigma)
     window = pre32.window
+    # VMEM budget: the fused kernel keeps Uh+Ulo (8 n^2 bytes = 33 MB at
+    # dim 2048) plus ~4 (n, tile) f32 buffers resident; at dim 2048 tile
+    # must drop to 1024 to stay inside the 100 MB scoped-VMEM limit
+    tile = 4096 if 2 * n_ring <= 1024 else 1024
     print(f"[{name}] sigma={sigma:.2f} window={window} "
-          f"n_tpu={n_tpu} n_cpu={n_cpu}", flush=True)
-    res_tpu = tpu_pallas_run(pre32, n_tpu, n_steps, tile=4096, seed=seed)
+          f"n_tpu={n_tpu} n_cpu={n_cpu} tile={tile}", flush=True)
+    res_tpu = tpu_pallas_run(pre32, n_tpu, n_steps, tile=tile, seed=seed)
     print(f"[{name}] pallas: klein {res_tpu['t_klein_s']:.1f}s, "
           f"imhk {res_tpu['t_imhk_s']:.1f}s, "
           f"acc={res_tpu['acceptance']:.4f}", flush=True)
@@ -281,6 +285,29 @@ def validate_regime(name, sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps,
         "pallas_klein_samples_per_sec": n_tpu / res_tpu["t_klein_s"],
         "pallas_imhk_samples_per_sec": n_tpu * n_steps / res_tpu["t_imhk_s"],
     }
+    # multi-seed replication of the log-weight KS (VERDICT r2 weak #3: the
+    # hard-regime KS passed once at p = 0.0495 against a 0.01 gate — one
+    # seed, one boundary away from red). Each extra seed draws fresh,
+    # independent f32 AND f64 Klein batches; every p must clear the gate.
+    if ks_seeds > 1:
+        multi = [out["log_weights"]]
+        for s in range(1, ks_seeds):
+            rt = tpu_pallas_run(pre32, n_tpu, 1, tile=tile,
+                                seed=seed + 1009 * s)
+            rc = run_cpu_phase(tmp, f"{name}_ks{s}", n_ring=n_ring,
+                               sigma=sigma, window=window, n_klein=n_cpu,
+                               n_chains=512, n_steps=1,
+                               seed=seed + 1009 * s)
+            ks_s = ks_check(rt["klein_log_w"], rc["klein_log_w"])
+            print(f"[{name}] ks seed {s}: p="
+                  f"{ks_s.get('ks_p', float('nan')):.4g} "
+                  f"passed={ks_s['passed']}", flush=True)
+            multi.append(ks_s)
+        out["log_weights_multi_seed"] = multi
+        out["log_weights_all_seeds_passed"] = bool(
+            all(k["passed"] for k in multi))
+        out["log_weights"] = dict(out["log_weights"],
+                                  passed=out["log_weights_all_seeds_passed"])
     out["passed"] = all(out[k]["passed"] for k in
                         ("moments_klein", "moments_imhk", "log_weights",
                          "acceptance", "f32_cond_mean"))
@@ -321,14 +348,18 @@ def main():
             "smooth": validate_regime("smooth", sigma_smooth, lat32, tmp,
                                       n_ring, n_tpu, n_cpu, n_steps, seed=7),
             "hard": validate_regime("hard", sigma_hard, lat32, tmp,
-                                    n_ring, n_tpu, n_cpu, n_steps, seed=8),
+                                    n_ring, n_tpu, n_cpu, n_steps, seed=8,
+                                    ks_seeds=int(os.environ.get(
+                                        "VAL_KS_SEEDS", "3"))),
         }
     results["all_passed"] = bool(results["smooth"]["passed"]
                                  and results["hard"]["passed"])
 
     out_dir = os.path.join(REPO, "results", "pallas_validation")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "validation.json"), "w") as f:
+    fname = ("validation.json" if n_ring == 512
+             else f"validation_{n_ring}.json")
+    with open(os.path.join(out_dir, fname), "w") as f:
         json.dump(results, f, indent=2, default=float)
     for reg in ("smooth", "hard"):
         r = results[reg]

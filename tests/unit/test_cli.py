@@ -20,6 +20,18 @@ def test_gates_passed_extraction():
     assert cli._gates_passed({"rows": [1, 2, 3]}) is None
 
 
+def test_gates_passed_recurses_into_lists():
+    # per-row `passed` flags inside list payloads count (ADVICE r2:
+    # list-carried gate verdicts were invisible to the run verdict)
+    assert cli._gates_passed({"rows": [{"passed": True},
+                                       {"passed": False}]}) is False
+    assert cli._gates_passed({"rows": [{"passed": True},
+                                       {"passed": True}]}) is True
+    assert cli._gates_passed([{"x": {"passed": False}}]) is False
+    # a non-boolean `passed` payload key is not a gate verdict
+    assert cli._gates_passed({"passed": [1, 2]}) is None
+
+
 def test_cli_gate_failure_exits_nonzero(tmp_path, monkeypatch):
     def fake_run(name, output_dir, quick, cpu):
         return {"experiment": name, "seconds": 0.0,
