@@ -92,8 +92,17 @@ def compare_algorithms(cfg: Optional[ConvergenceConfig] = None,
         for f in cfg.sigma_factors:
             sigma = f * eta
             pre = klein_precompute(lat, sigma)
-            truth = _ground_truth(np.asarray(lat.basis), sigma,
-                                  cfg.enumeration_radius)
+            # the enumeration window must cover the law at THIS sigma: the
+            # coefficient spread is ~sigma/min|R_ii| per coordinate, so a
+            # fixed radius silently truncates the truth at large sigma
+            # (this was caught by the r3 TVD gate: at sigma = 5 eta both
+            # samplers 'failed' identically at TVD 0.24 against a truth
+            # missing ~24% of its mass)
+            min_r = float(np.min(np.abs(np.asarray(
+                jnp.diagonal(lat.R), dtype=np.float64))))
+            radius = max(cfg.enumeration_radius,
+                         int(np.ceil(5.0 * sigma / max(min_r, 1e-9))))
+            truth = _ground_truth(np.asarray(lat.basis), sigma, radius)
             kc, lw = klein_sample_batch(jax.random.fold_in(key, 1), pre,
                                         cfg.n_samples)
             ic, _, states = imhk_chains(jax.random.fold_in(key, 2), pre,
