@@ -145,9 +145,10 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
                                    float(jnp.max(lat.gs_norms)))
             except ValueError:
                 return None
-            # randomized rounding materializes (B, n, window) logits; cap the
-            # batch so that stays under ~1 GB of HBM
-            peikert_batch = min(B, max(1024, 2**28 // (n * 8)))
+            # randomized rounding materializes (B, n, window) f32 logits;
+            # cap the batch so that tensor stays under ~1 GB of HBM
+            peikert_batch = min(B, max(256,
+                                       2**28 // (n * s.pre.window)))
 
             def run(k=key, s=s, Bp=peikert_batch):
                 return s.sample(k, Bp, return_coeffs=True)

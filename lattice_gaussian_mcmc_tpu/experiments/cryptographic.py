@@ -34,6 +34,7 @@ from lattice_gaussian_mcmc_tpu.lattices import (
 )
 from lattice_gaussian_mcmc_tpu.lattices.base import smoothing_parameter
 from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+from lattice_gaussian_mcmc_tpu.samplers.klein import MAX_WINDOW
 from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
     imhk_steps_batch_blocked,
     klein_sample_batch_blocked,
@@ -49,9 +50,21 @@ def build_lattice_suite(cfg: CryptoConfig, dtype) -> Dict[str, object]:
     for n in cfg.qary_dims:
         lat = qary_lattice(n, n // 2, q=cfg.qary_q, seed=cfg.seed, dtype=dtype)
         if n <= 256:
-            from lattice_gaussian_mcmc_tpu.reduction import lll_reduce
-            lat = lattice_from_basis(lll_reduce(np.asarray(lat.basis)),
-                                     name=lat.name + "-lll", dtype=dtype)
+            # q-ary profiles keep unit GS tails after LLL (min||b*|| = 1
+            # while sigma ~ q), which overflows the 1D window; a BKZ-20
+            # pass flattens the profile enough to sample at n <= 128
+            from lattice_gaussian_mcmc_tpu.reduction import (
+                bkz_reduce,
+                lll_reduce,
+                native_available,
+            )
+            B = lll_reduce(np.asarray(lat.basis))
+            if native_available() and n <= 128:
+                B = bkz_reduce(B, beta=20, max_tours=4)
+                tag = "-bkz20"
+            else:
+                tag = "-lll"
+            lat = lattice_from_basis(B, name=lat.name + tag, dtype=dtype)
         suite[f"qary_{n}"] = lat
     for n in cfg.ntru_n:
         suite[f"ntru_{n}"] = ntru_lattice(n, q=cfg.ntru_q, seed=cfg.seed,
@@ -67,6 +80,20 @@ def evaluate_sampler_on(lat, sigma: float, cfg: CryptoConfig, key) -> Dict:
     finish in seconds.
     """
     pre = klein_precompute(lat, sigma)
+    if pre.clamped:
+        # the GS profile is too unbalanced to represent D_{Lambda,sigma}
+        # at sigma >= max||b*|| within any fixed window (max/min GS ratio
+        # ~ q after weak reduction): recording a truncated-law row as a
+        # sampler result would be wrong, and gating it as a failure would
+        # blame the sampler for the instance. The reference's own crypto
+        # tables switch to NTRU lattices at these dims for the same reason.
+        return {
+            "lattice": lat.name, "dimension": lat.n, "sigma": sigma,
+            "window": pre.window, "window_clamped": True,
+            "skipped": ("window overflow: max/min GS ratio needs a window "
+                        f"> {MAX_WINDOW}; basis profile unsuitable for "
+                        "lattice-Gaussian sampling at this sigma"),
+        }
     block = min(64, lat.n)
     B = min(cfg.n_chains, max(256, (1 << 20) // lat.n))
     n_steps = int(np.clip(cfg.n_samples // B, 2, max(2, 8192 // lat.n)))

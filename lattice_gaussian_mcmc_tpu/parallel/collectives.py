@@ -165,3 +165,44 @@ def sharded_imhk_blocked(key, pre, n_chains: int, n_steps: int, mesh: Mesh,
                       check_vma=False)
     dev_keys = put_global(dev_keys, mesh, P(CHAIN_AXIS))
     return jax.jit(f)(dev_keys)
+
+
+def sharded_imhk_pallas(key, pre, n_chains: int, n_steps: int, mesh: Mesh,
+                        tile: int = 1024, interpret: bool = False):
+    """Speed-of-light multi-chip path: the fused Pallas IMHK kernel runs on
+    every device's chain shard under `shard_map`; acceptance is psum'd.
+
+    Per-chip this is the 7.3M samples/s kernel (bench.py); across a mesh
+    the chains never communicate, so aggregate throughput is
+    ~mesh.size * per-chip rate with one scalar collective per call.
+    Returns (coeffs (C, n), log_ws (C,), global_acceptance scalar).
+    `interpret=True` runs the kernel in interpreter mode (CPU meshes /
+    tests)."""
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        imhk_step_pallas_fused,
+        klein_sample_batch_pallas,
+    )
+    assert n_chains % mesh.size == 0
+    per_dev = n_chains // mesh.size
+    assert per_dev % tile == 0, "per-device chains must divide the tile"
+    dev_keys = chain_keys(key, mesh.size)
+
+    def local(dev_key):
+        dev_key = dev_key[0]
+        k_init, k_run = jax.random.split(dev_key)
+        X0, lw0 = klein_sample_batch_pallas(k_init, pre, per_dev, tile=tile,
+                                            interpret=interpret,
+                                            host_rng=interpret)
+        X, lw, acc = imhk_step_pallas_fused(
+            k_run, pre, X0, lw0, jnp.zeros((per_dev,), jnp.float32),
+            tile=tile, n_steps=n_steps, interpret=interpret)
+        g_acc = jax.lax.psum(jnp.sum(acc), CHAIN_AXIS)
+        g_tot = jax.lax.psum(jnp.asarray(per_dev * n_steps, jnp.float32),
+                             CHAIN_AXIS)
+        return X, lw, g_acc / g_tot
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=P(CHAIN_AXIS),
+                      out_specs=(P(CHAIN_AXIS), P(CHAIN_AXIS), P()),
+                      check_vma=False)
+    dev_keys = put_global(dev_keys, mesh, P(CHAIN_AXIS))
+    return jax.jit(f)(dev_keys)

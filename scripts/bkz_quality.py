@@ -54,8 +54,9 @@ def main() -> int:
     n = int(os.environ.get("BKZQ_N", "128"))
     q = 3329
     rng = np.random.default_rng(0)
-    A = rng.integers(0, q, size=(n, n // 2))
-    B = qary_basis(A.T, q)
+    # (k, m) = (n/2, n/2) modular constraints -> a dim-n q-ary basis
+    A = rng.integers(0, q, size=(n // 2, n // 2))
+    B = qary_basis(A, q)
     t0 = time.perf_counter()
     L = lll_reduce(B)
     t_lll = time.perf_counter() - t0

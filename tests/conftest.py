@@ -16,8 +16,11 @@ import jax  # noqa: E402
 # interpreter startup and exports JAX_PLATFORMS=axon, so the env var is
 # ignored — the config update is the only override that sticks. Tests must
 # not contend with benchmarks for the single real chip.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# GRAFT_TPU_TESTS=1 opts IN to the real TPU for the hardware-marked tests
+# (run those alone: the chip deadlocks under two concurrent processes).
+if os.environ.get("GRAFT_TPU_TESTS", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -56,6 +56,7 @@ def _single_process_digest():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_two_process_mesh_bitwise_matches_single(tmp_path):
     port = _free_port()
     coordinator = f"localhost:{port}"

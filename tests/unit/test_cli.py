@@ -8,6 +8,8 @@ fails the run (nonzero exit, gates_passed=false in run_summary.json).
 
 import json
 
+import pytest
+
 from lattice_gaussian_mcmc_tpu.experiments import cli
 
 
@@ -59,6 +61,7 @@ def test_cli_exception_exits_nonzero(tmp_path, monkeypatch):
     assert summary[0]["error"] == "boom"
 
 
+@pytest.mark.slow
 def test_cli_validation_quick_smoke(tmp_path):
     """End-to-end --quick run of the validation suite through the CLI."""
     rc = cli.main(["--experiments", "validation", "--quick", "--cpu",

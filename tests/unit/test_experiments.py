@@ -17,6 +17,7 @@ from lattice_gaussian_mcmc_tpu.experiments.configs import (
 )
 
 
+@pytest.mark.slow
 def test_crypto_suite_rows_and_resume(tmp_path):
     from lattice_gaussian_mcmc_tpu.experiments.cryptographic import (
         run_crypto_suite,
@@ -36,6 +37,7 @@ def test_crypto_suite_rows_and_resume(tmp_path):
     assert os.path.exists(tmp_path / "crypto_results.json")
 
 
+@pytest.mark.slow
 def test_sigma_sweep_grid_and_transition(tmp_path):
     from lattice_gaussian_mcmc_tpu.experiments.parameter_sensitivity import (
         sigma_sweep,
@@ -55,6 +57,7 @@ def test_sigma_sweep_grid_and_transition(tmp_path):
         0.25 <= out["phase_transition_at"] <= 8.0
 
 
+@pytest.mark.slow
 def test_convergence_study_artifact(tmp_path):
     from lattice_gaussian_mcmc_tpu.experiments.convergence_study import (
         run_study,
@@ -78,6 +81,7 @@ def test_convergence_study_artifact(tmp_path):
     assert data["tvd_decay"], "no decay curve"
 
 
+@pytest.mark.slow
 def test_mesh_scaling_measure_small():
     """measure_scaling on the test session's 8 virtual CPU devices."""
     from lattice_gaussian_mcmc_tpu.experiments.mesh_scaling import (

@@ -128,15 +128,20 @@ def test_smk_converges_to_target(key):
 
 def test_imhk_sample_trajectory_semantics(key):
     # Regression (round-1 advice): sample() must always return a Markov-chain
-    # trajectory (never silently switch to iid final states), keep
-    # _last_state for resume, and reject backend='pallas'.
+    # trajectory (never silently switch to iid final states) and keep
+    # _last_state for resume. Since r3, backend='pallas' IS a trajectory
+    # backend (the fused kernel emits thinned states to an HBM ring), so it
+    # requires a TPU rather than being rejected outright; off-TPU it must
+    # raise instead of silently falling back.
+    import jax
     lat = identity_lattice(3, dtype=jnp.float64)
     s = IMHKSampler(lat, sigma=2.0, burn_in=10)
     pts = s.sample(key, 2048)  # >= 1024 used to trigger the silent fork
     assert pts.shape == (2048, 3)
     assert s._last_state is not None
-    with pytest.raises(ValueError, match="sample_iid"):
-        s.sample(key, 2048, backend="pallas")
+    if jax.default_backend() != "tpu":
+        with pytest.raises(RuntimeError, match="TPU"):
+            s.sample(key, 8, n_chains=256, backend="pallas")
     with pytest.raises(ValueError):
         s.sample(key, 10, backend="nonsense")
 

@@ -30,6 +30,7 @@ def _pallas_cpu(key, pre, B, **kw):
         return klein_sample_batch_pallas(key, pre, B, host_rng=True, **kw)
 
 
+@pytest.mark.slow
 def test_pallas_matches_target_2d(key):
     basis = np.array([[1.0, 0.5], [0.0, 1.0]])
     sigma = 2.0
@@ -40,6 +41,7 @@ def test_pallas_matches_target_2d(key):
     assert tvd_dicts(empirical_dist(X), target) < 0.025
 
 
+@pytest.mark.slow
 def test_pallas_matches_xla_moments(key, rng):
     B8 = np.triu(rng.integers(-3, 4, (8, 8))).astype(float) + np.diag([4.0] * 8)
     lat = lattice_from_basis(B8, dtype=jnp.float32)
@@ -53,6 +55,7 @@ def test_pallas_matches_xla_moments(key, rng):
     np.testing.assert_allclose(float(lp.mean()), float(lv.mean()), atol=0.05)
 
 
+@pytest.mark.slow
 def test_pallas_multiblock_rows(key):
     # n = 384 exercises the multi-block path (3 blocks of 128)
     lat = identity_lattice(384, dtype=jnp.float32)
