@@ -27,12 +27,19 @@ def main() -> int:
 
     from lattice_gaussian_mcmc_tpu.experiments.mesh_scaling import (
         measure_scaling,
+        measure_scaling_pallas,
     )
+    counts = [d for d in (1, 2, 4, 8, 16) if d <= n_devices]
     rows = measure_scaling(
         chains_per_device=chains_per_device, n_samples=n_samples,
-        device_counts=[d for d in (1, 2, 4, 8, 16) if d <= n_devices],
-        seed=seed)
-    print(json.dumps(rows, default=float))
+        device_counts=counts, seed=seed)
+    # production-path rows (fused Pallas kernel under shard_map; interpret
+    # mode on the CPU mesh): fewer/smaller sizes, the point is path proof
+    pallas_rows = measure_scaling_pallas(
+        chains_per_device=256, n_steps=4,
+        device_counts=[d for d in (1, 8) if d <= n_devices], seed=seed)
+    print(json.dumps({"rows": rows, "pallas_rows": pallas_rows},
+                     default=float))
     return 0
 
 

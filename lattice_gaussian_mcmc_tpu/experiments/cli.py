@@ -24,7 +24,7 @@ import numpy as np
 
 
 EXPERIMENTS = ("convergence", "scaling", "crypto", "sensitivity",
-               "validation", "benchmark", "mesh")
+               "validation", "benchmark", "mesh", "decoding", "adaptation")
 
 
 def run_experiment(name: str, output_dir: str, quick: bool, cpu: bool) -> Dict:
@@ -103,6 +103,30 @@ def _dispatch(name: str, output_dir: str, quick: bool):
                                   dimensions=(16, 64), n_chains=512,
                                   n_samples=2_000, timed_runs=2)
         out = run_benchmarks(cfg)
+    elif name == "decoding":
+        from lattice_gaussian_mcmc_tpu.experiments.decoding import (
+            DecodingConfig,
+            run_decoding,
+        )
+        cfg = DecodingConfig(output_dir=os.path.join(output_dir, name))
+        if quick:
+            cfg = DecodingConfig(output_dir=cfg.output_dir,
+                                 dimensions=(16, 32), n_targets=24,
+                                 rho_grid=(0.05, 0.3, 0.5),
+                                 gibbs_sweeps=24, gibbs_chains=12,
+                                 mhk_steps=64)
+        out = run_decoding(cfg)
+    elif name == "adaptation":
+        from lattice_gaussian_mcmc_tpu.experiments.adaptation import (
+            AdaptationConfig,
+            run_adaptation,
+        )
+        cfg = AdaptationConfig(output_dir=os.path.join(output_dir, name))
+        if quick:
+            cfg = AdaptationConfig(output_dir=cfg.output_dir, ntru_n=16,
+                                   n_chains=512, n_windows=8,
+                                   window_steps=4)
+        out = run_adaptation(cfg)
     else:
         raise ValueError(f"unknown experiment {name!r}")
     return out

@@ -66,6 +66,59 @@ def measure_scaling(n: int = 32, chains_per_device: int = 64,
     return rows
 
 
+def measure_scaling_pallas(n: int = 8, chains_per_device: int = 256,
+                           n_steps: int = 8, device_counts=None,
+                           seed: int = 0, tile: int = 256) -> List[Dict]:
+    """Weak scaling on the PRODUCTION multi-chip path: the fused Pallas
+    IMHK kernel under shard_map (`sharded_imhk_pallas`,
+    parallel/collectives.py). Off-TPU the kernel runs in interpret mode —
+    rates are then interpreter rates (orders of magnitude below the
+    compiled kernel; see BENCH_r*.json for those) and the rows demonstrate
+    the path executes and psums across every mesh width, not speed."""
+    from lattice_gaussian_mcmc_tpu.parallel.collectives import (
+        sharded_imhk_pallas,
+    )
+    if device_counts is None:
+        nd = len(jax.devices())
+        device_counts = [d for d in (1, 2, 4, 8, 16) if d <= nd]
+    interpret = jax.devices()[0].platform != "tpu"
+    rng = np.random.default_rng(seed)
+    B = np.triu(rng.uniform(-0.5, 0.5, (n, n))) + np.eye(n)
+    np.fill_diagonal(B, 1.0)
+    lat = lattice_from_basis(B, dtype=jnp.float32)
+    pre = klein_precompute(lat, 1.2)
+    key = jax.random.key(seed)
+
+    rows = []
+    base_rate = None
+    for nd in device_counts:
+        mesh = make_mesh(nd)
+        n_chains = chains_per_device * nd
+        out = sharded_imhk_pallas(key, pre, n_chains, n_steps, mesh,
+                                  tile=tile, interpret=interpret)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = sharded_imhk_pallas(jax.random.fold_in(key, 1), pre, n_chains,
+                                  n_steps, mesh, tile=tile,
+                                  interpret=interpret)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rate = n_chains * n_steps / dt
+        if base_rate is None:
+            base_rate = rate
+        rows.append({
+            "impl": "sharded_imhk_pallas",
+            "interpret_mode": interpret,
+            "rates_are_interpret_mode_not_kernel": interpret,
+            "n_devices": nd,
+            "n_chains": n_chains,
+            "samples_per_sec": rate,
+            "efficiency": rate / (base_rate * nd),
+            "acceptance": float(out[2]),
+        })
+    return rows
+
+
 def _measure_in_virtual_mesh(n_devices: int, chains_per_device: int,
                              n_samples: int, seed: int) -> List[Dict]:
     """Spawn a subprocess with a forced n_devices-wide virtual CPU mesh
@@ -82,7 +135,10 @@ def _measure_in_virtual_mesh(n_devices: int, chains_per_device: int,
         cwd=repo, capture_output=True, text=True, timeout=1800)
     if r.returncode != 0:
         raise RuntimeError(f"mesh-scaling worker failed:\n{r.stderr}")
-    return json.loads(r.stdout.strip().splitlines()[-1])
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    if isinstance(payload, list):  # legacy worker output
+        return {"rows": payload, "pallas_rows": []}
+    return payload
 
 
 def measure_process_scaling(process_counts=(1, 2), devices_per_proc: int = 2,
@@ -140,10 +196,13 @@ def run_mesh_scaling(cfg: Optional[ExperimentConfig] = None,
     cfg = cfg or ExperimentConfig(output_dir="results/mesh_scaling")
     if len(jax.devices()) >= min_devices:
         rows = measure_scaling(seed=cfg.seed)
+        pallas_rows = measure_scaling_pallas(seed=cfg.seed)
         env = "device_mesh"
     else:
-        rows = _measure_in_virtual_mesh(min_devices, chains_per_device=64,
-                                        n_samples=20, seed=cfg.seed)
+        worker = _measure_in_virtual_mesh(min_devices, chains_per_device=64,
+                                          n_samples=20, seed=cfg.seed)
+        rows = worker["rows"]
+        pallas_rows = worker["pallas_rows"]
         env = "virtual_cpu_mesh"
     try:
         process_rows = measure_process_scaling()
@@ -152,16 +211,21 @@ def run_mesh_scaling(cfg: Optional[ExperimentConfig] = None,
     import multiprocessing
     payload = {
         "rows": rows,
+        "pallas_rows": pallas_rows,
         "process_rows": process_rows,
         "environment": env,
         "physical_cores": multiprocessing.cpu_count(),
-        # sanity gate: all rates finite/positive and the 2-process run
-        # actually spanned processes
+        # sanity gate: all rates finite/positive, the 2-process run actually
+        # spanned processes, and the production Pallas path ran on the
+        # widest mesh with a sane pooled acceptance
         "all_passed": bool(
             all(np.isfinite(r["samples_per_sec"]) and r["samples_per_sec"] > 0
                 for r in rows)
             and any(r.get("process_count") == 2 and r.get("distributed")
-                    for r in process_rows)),
+                    for r in process_rows)
+            and any(r["n_devices"] >= min(8, len(jax.devices()))
+                    and 0.0 < r["acceptance"] <= 1.0
+                    for r in pallas_rows)),
         "note": ("virtual CPU devices share the host's physical cores, so "
                  "weak-scaling efficiency on a virtual mesh is a lower "
                  "bound dominated by core oversubscription; the >=80% "

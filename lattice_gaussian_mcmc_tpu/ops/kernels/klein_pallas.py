@@ -302,8 +302,10 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
 
     nb = n // BLOCK
 
-    def propose(out_ref):
+    def propose(out_ref, ubase=0):
         """One full Klein draw into out_ref (n, tile); returns lw (1, tile).
+        `ubase` offsets into the host-uniform buffer (host_rng only): the
+        fused path lays out n group-draw rows + GROUP accept rows per step.
 
         The log weight is a sum of n ~O(1) log-normalizers reaching ~1.3n;
         naive f32 accumulation loses ~n*eps*|sum| (~0.08 at n=1024), which
@@ -340,7 +342,8 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
                 t8 = t_ref[pl.ds(r8, GROUP), :]       # (8, tile)
                 # one PRNG/VMEM access per group instead of one per row
                 if host_rng:
-                    un8 = unif_ref[pl.ds(i8, GROUP), :]
+                    un8 = unif_ref[pl.ds(pl.multiple_of(ubase + i8, GROUP),
+                                         GROUP), :]
                 else:
                     un8 = uniform_block((GROUP, tile))
 
@@ -397,9 +400,16 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
         # zero HBM round-trips and zero dispatch overhead between steps.
         def step_body(s, carry):
             lw_st, acc_st = carry
-            lw_prop = propose(p_ref)
+            ubase = pl.multiple_of(s * (n + GROUP), GROUP)
+            lw_prop = propose(p_ref, ubase)
             # Metropolis accept: u ~ U(0,1); accept iff log u < lw_new - old
-            u01 = jnp.maximum(uniform_block((1, tile)), 1e-30)
+            if host_rng:
+                u8 = unif_ref[pl.ds(pl.multiple_of(ubase + n, GROUP),
+                                    GROUP), :]
+                u01 = u8[0:1, :]
+            else:
+                u01 = uniform_block((1, tile))
+            u01 = jnp.maximum(u01, 1e-30)
             accept = jnp.log(u01) < (lw_prop - lw_st)      # (1, tile)
             x_ref[:] = jnp.where(accept, p_ref[:], x_ref[:])
             lw_st = jnp.where(accept, lw_prop, lw_st)
@@ -567,11 +577,13 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "n_steps",
-                                              "interpret", "ablate"))
+                                              "interpret", "ablate",
+                                              "host_rng"))
 def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
                            acc, tile: int = 512, n_steps: int = 1,
                            interpret: bool = False,
-                           ablate: frozenset = frozenset()):
+                           ablate: frozenset = frozenset(),
+                           host_rng: bool = False):
     """n_steps fused IMHK steps in ONE dispatch: Klein proposal + in-kernel
     Metropolis accept, chain state held in VMEM across steps (the xold input
     is buffer-aliased to the x output). coeffs (B, n), log_ws (B,), acc (B,)
@@ -583,10 +595,15 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
     n = ppre.U.shape[0]
     window = pre.window
 
-    seed = jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max,
+    k_seed, k_unif = jax.random.split(key)
+    seed = jax.random.randint(k_seed, (1, 1), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
     Uh, Ulo, uw, ud, cs, isg, kshift = _kernel_operands(ppre)
-    unif = jnp.zeros((8, B), dtype=jnp.float32)  # placeholder
+    if host_rng:
+        unif = jax.random.uniform(k_unif, (n_steps * (n + GROUP), B),
+                                  dtype=jnp.float32)
+    else:  # tiny placeholder (never read)
+        unif = jnp.zeros((8, B), dtype=jnp.float32)
 
     # pad coeff state rows up to n (padded coords are always 0); the kernel
     # state is recentered y = x - round(cs) (see _kernel_operands)
@@ -595,7 +612,8 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
     lwold = log_ws.astype(jnp.float32)[None, :]
     accold = acc.astype(jnp.float32)[None, :]
 
-    kernel = functools.partial(_kernel, n=n, window=window, host_rng=False,
+    kernel = functools.partial(_kernel, n=n, window=window,
+                               host_rng=host_rng,
                                tile=tile, fused_mh=True, n_steps=n_steps,
                                ablate=ablate)
     x, lw, acc_out = pl.pallas_call(
@@ -611,7 +629,7 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, tile), lambda i: (0, i),
+            pl.BlockSpec((unif.shape[0], tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

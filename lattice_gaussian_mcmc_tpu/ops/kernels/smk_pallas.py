@@ -63,9 +63,9 @@ except Exception:  # pragma: no cover
 
 
 def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
-                wqt_ref, xold_ref, accold_ref,
+                wqt_ref, unif_ref, xold_ref, accold_ref,
                 x_ref, acc_ref, *rest,
-                n, window, tile, n_steps, debug=False):
+                n, window, tile, n_steps, host_rng=False, debug=False):
     """n_steps fused SMK steps; chain state x resident in VMEM, the current
     centers ct = U @ x~ recomputed ONCE at kernel start into scratch (U is
     unit upper triangular, so one full-row block dot gives (U x~)_i
@@ -88,7 +88,8 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
         t_ref, z_ref, cn8_ref, xx_ref, p_ref, ctn_ref, ct_ref = rest
     del xold_ref  # aliased to x_ref
     prog = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0, 0] + prog * 6271)
+    if not host_rng:
+        pltpu.prng_seed(seed_ref[0, 0] + prog * 6271)
 
     row_w = jax.lax.broadcasted_iota(jnp.int32, (window, 2 * window), 0)
     col_w = jax.lax.broadcasted_iota(jnp.int32, (window, 2 * window), 1)
@@ -134,9 +135,11 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
         total = jnp.sum(jnp.exp(lm), axis=0, keepdims=True)
         return m, total
 
-    def propose_smk():
+    def propose_smk(ubase):
         """Backward sweep: draws into p_ref, U@y~new into ctn_ref; returns
-        the summed forward log-normalizer (1, tile)."""
+        the summed forward log-normalizer (1, tile). `ubase` is the row
+        offset into the host-uniform buffer for this step (host_rng only;
+        layout: n group-draw rows then GROUP accept rows per step)."""
         p_ref[:] = jnp.zeros((n, tile), jnp.float32)
         lw = jnp.zeros((1, tile), jnp.float32)
         comp = jnp.zeros((1, tile), jnp.float32)
@@ -160,7 +163,11 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
                 ud8 = ud_ref[pl.ds(i8, GROUP), :]
                 t8 = t_ref[pl.ds(r8, GROUP), :]
                 ctc8 = ct_ref[pl.ds(i8, GROUP), :]   # per-chain centers
-                un8 = uniform_block((GROUP, tile))
+                if host_rng:
+                    un8 = unif_ref[pl.ds(pl.multiple_of(ubase + i8, GROUP),
+                                         GROUP), :]
+                else:
+                    un8 = uniform_block((GROUP, tile))
                 s8 = jnp.dot(u8w, xx_ref[:],
                              preferred_element_type=jnp.float32)
                 msum = None
@@ -255,7 +262,8 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
                       preferred_element_type=jnp.float32))
 
     def step_body(s, acc_st):
-        lw_fwd = propose_smk()
+        ubase = pl.multiple_of(s * (n + GROUP), GROUP)
+        lw_fwd = propose_smk(ubase)
         lw_rev, qn, qc = reverse_and_quad()
         # log alpha = [log pi(y) - log pi(x)] + [log q(x|y) - log q(y|x)]
         #           = (qc - qn) + (lw_fwd - lw_rev)
@@ -268,7 +276,12 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
             comp_ref[2:3, :] = qn
             comp_ref[3:4, :] = qc
             comp_ref[4:5, :] = log_alpha
-        u01 = jnp.maximum(uniform_block((1, tile)), 1e-30)
+        if host_rng:
+            u8 = unif_ref[pl.ds(pl.multiple_of(ubase + n, GROUP), GROUP), :]
+            u01 = u8[0:1, :]
+        else:
+            u01 = uniform_block((1, tile))
+        u01 = jnp.maximum(u01, 1e-30)
         accept = jnp.log(u01) < log_alpha
         x_ref[:] = jnp.where(accept, p_ref[:], x_ref[:])
         ct_ref[:] = jnp.where(accept, ctn_ref[:], ct_ref[:])
@@ -278,32 +291,42 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "n_steps", "window",
-                                             "interpret", "debug"))
+                                             "interpret", "debug",
+                                             "host_rng"))
 def _smk_steps_jit(key, pre: KleinPrecomp, coeffs, acc, sigmas_prop,
                    n_steps: int, tile: int, window: int,
-                   interpret: bool = False, debug: bool = False):
+                   interpret: bool = False, debug: bool = False,
+                   host_rng: bool = False):
     from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import _pad_precomp
     B = coeffs.shape[0]
     assert B % tile == 0, f"batch must be a multiple of {tile}"
     ppre, n_real = _pad_precomp(pre, BLOCK)
     n = ppre.U.shape[0]
 
-    seed = jax.random.randint(key, (1, 1), 0, np.iinfo(np.int32).max,
+    k_seed, k_unif = jax.random.split(key)
+    seed = jax.random.randint(k_seed, (1, 1), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
+    if host_rng:
+        unif = jax.random.uniform(k_unif, (n_steps * (n + GROUP), B),
+                                  dtype=jnp.float32)
+    else:  # tiny placeholder (never read)
+        unif = jnp.zeros((8, B), dtype=jnp.float32)
     Uh, Ulo, uw, ud, cse, isg_t, kshift = _kernel_operands(ppre)
     # pad the proposal widths like _pad_precomp pads the target's
     sp = jnp.concatenate([
         sigmas_prop.astype(jnp.float32),
         jnp.full((n - n_real,), 1e-6, jnp.float32)])
     isgp = (1.0 / sp)[None, :]
-    wqt = isg_t / np.sqrt(2.0)          # r_i / (sqrt(2) sigma_target)
+    # r_i / (sqrt(2) sigma_target); keep f32 under jax_enable_x64
+    wqt = (isg_t / np.sqrt(2.0)).astype(jnp.float32)
 
     y0 = jnp.zeros((n, B), jnp.float32).at[:n_real, :].set(
         coeffs.T.astype(jnp.float32) - kshift[:n_real, None])
     acc0 = acc.astype(jnp.float32)[None, :]
 
     kernel = functools.partial(_smk_kernel, n=n, window=window, tile=tile,
-                               n_steps=n_steps, debug=debug)
+                               n_steps=n_steps, host_rng=host_rng,
+                               debug=debug)
     out_specs = [
         pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -340,6 +363,8 @@ def _smk_steps_jit(key, pre: KleinPrecomp, coeffs, acc, sigmas_prop,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((unif.shape[0], tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
@@ -356,11 +381,11 @@ def _smk_steps_jit(key, pre: KleinPrecomp, coeffs, acc, sigmas_prop,
             pltpu.VMEM((n, tile), jnp.float32),          # ct_new
             pltpu.VMEM((n, tile), jnp.float32),          # ct current
         ],
-        input_output_aliases={8: 0, 9: 1},
+        input_output_aliases={9: 0, 10: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(seed, Uh, Ulo, uw, ud, cse, isgp, wqt, y0, acc0)
+    )(seed, Uh, Ulo, uw, ud, cse, isgp, wqt, unif, y0, acc0)
     if debug:
         x, acc_out, pdbg, ctndbg, comp = outs
         return (x[:n_real, :].T + kshift[None, :n_real], acc_out[0],
@@ -374,7 +399,8 @@ def _smk_steps_jit(key, pre: KleinPrecomp, coeffs, acc, sigmas_prop,
 
 def smk_steps_batch_pallas(key, pre: KleinPrecomp, coeffs, n_steps: int,
                            sigma_prop=None, tile: int = 0,
-                           interpret: bool = False):
+                           interpret: bool = False, host_rng: bool = False,
+                           debug: bool = False):
     """Run n_steps fused SMK steps on (B, n) integer coefficient state.
 
     `pre` is the TARGET precomputation (sigma = target width, cs = target
@@ -412,4 +438,4 @@ def smk_steps_batch_pallas(key, pre: KleinPrecomp, coeffs, n_steps: int,
     window = min(window, 1024)
     acc = jnp.zeros((coeffs.shape[0],), jnp.float32)
     return _smk_steps_jit(key, pre, coeffs, acc, sigmas_prop, n_steps,
-                          tile, window, interpret)
+                          tile, window, interpret, debug, host_rng)

@@ -195,7 +195,8 @@ def sharded_imhk_pallas(key, pre, n_chains: int, n_steps: int, mesh: Mesh,
                                             host_rng=interpret)
         X, lw, acc = imhk_step_pallas_fused(
             k_run, pre, X0, lw0, jnp.zeros((per_dev,), jnp.float32),
-            tile=tile, n_steps=n_steps, interpret=interpret)
+            tile=tile, n_steps=n_steps, interpret=interpret,
+            host_rng=interpret)
         g_acc = jax.lax.psum(jnp.sum(acc), CHAIN_AXIS)
         g_tot = jax.lax.psum(jnp.asarray(per_dev * n_steps, jnp.float32),
                              CHAIN_AXIS)

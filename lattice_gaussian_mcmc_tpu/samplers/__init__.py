@@ -9,6 +9,7 @@ from lattice_gaussian_mcmc_tpu.samplers.klein import (  # noqa: F401
 from lattice_gaussian_mcmc_tpu.samplers.imhk import (  # noqa: F401
     IMHKSampler,
     MetropolisKleinSampler,
+    SMKSampler,
     ChainState,
     imhk_init,
     imhk_step,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -87,6 +88,103 @@ def adapt_sigma_imhk(key, lattice: Lattice, sigma0: float,
         st = robbins_monro_update(st, acc_rate, target_acceptance)
         st.log_sigma = max(st.log_sigma, math.log(sigma_floor))
     st.log_sigma = max(st.log_sigma, math.log(sigma_floor))
+    return st
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def _smk_window_xla(key, pre_hybrid, Q, R, X, n_steps: int):
+    """`n_steps` vmapped XLA SMK steps on coeff state X (B, n); returns
+    (X, accepted fraction). `pre_hybrid` carries proposal widths in
+    .sigmas and the target width in .sigma (what `smk_step` expects)."""
+    from lattice_gaussian_mcmc_tpu.samplers.imhk import ChainState, smk_step
+
+    B = X.shape[0]
+    zeros = jnp.zeros((B,), jnp.int32)
+    st = ChainState(coeffs=X, log_w=jnp.zeros((B,), X.dtype),
+                    accepted=zeros, steps=zeros)
+
+    def body(i, st):
+        k = jax.random.fold_in(key, i)
+        keys = jax.vmap(lambda j: jax.random.fold_in(k, j))(jnp.arange(B))
+        return jax.vmap(
+            lambda kk, s: smk_step(kk, s, pre_hybrid, Q, R))(keys, st)
+
+    st = jax.lax.fori_loop(0, n_steps, body, st)
+    acc = jnp.sum(st.accepted).astype(jnp.float32) / (B * n_steps)
+    return st.coeffs, acc
+
+
+def adapt_sigma_smk(key, lattice: Lattice, sigma: float,
+                    sigma_prop0: Optional[float] = None,
+                    target_acceptance: float = 0.45,
+                    n_windows: int = 16, window_steps: int = 8,
+                    n_chains: int = 4096, backend: str = "auto",
+                    tile: int = 0) -> AdaptationState:
+    """BASELINE config 4 adaptation: Robbins-Monro on the symmetric
+    Metropolis-Klein PROPOSAL width, targeting pooled acceptance.
+
+    SMK is a random-walk Metropolis chain, so the adapted parameter is the
+    local-move width sigma_prop (the reference's analogue adapts precision
+    between sampling passes, src/samplers/klein.py:273-302; classical RWM
+    theory targets acceptance ~0.234-0.5). Acceptance DECREASES in
+    sigma_prop, so the update is log sigma_prop += gamma (observed -
+    target). Chain state persists across windows (diminishing adaptation —
+    the standard construction that preserves ergodicity).
+
+    backend "pallas" runs windows through the fused SMK kernel
+    (ops/kernels/smk_pallas.py) — TPU only; "auto" picks it when available.
+    Returns the AdaptationState; .history rows carry
+    (window, sigma_prop, acceptance, samples_per_sec).
+    """
+    import time as _time
+
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        pallas_supported,
+    )
+    from lattice_gaussian_mcmc_tpu.ops.kernels.smk_pallas import (
+        smk_steps_batch_pallas,
+    )
+    from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
+        klein_sample_batch_blocked,
+    )
+
+    n = lattice.n
+    if sigma_prop0 is None:
+        sigma_prop0 = 2.38 * float(sigma) / math.sqrt(n)
+    use_pallas = backend == "pallas" or (backend == "auto"
+                                         and pallas_supported()
+                                         and n_chains % 256 == 0)
+    pre_t = klein_precompute(lattice, sigma)
+    # init chains from a Klein draw at the target width
+    X, _ = klein_sample_batch_blocked(jax.random.fold_in(key, 0xad), pre_t,
+                                      n_chains, 32)
+    X = X.astype(jnp.float32) if use_pallas else X
+    st = AdaptationState(log_sigma=math.log(sigma_prop0))
+    for w in range(n_windows):
+        sp = st.sigma
+        k_w = jax.random.fold_in(key, w)
+        t0 = _time.perf_counter()
+        if use_pallas:
+            X, acc = smk_steps_batch_pallas(k_w, pre_t, X, window_steps,
+                                            sigma_prop=sp, tile=tile)
+            acc_rate = float(jnp.mean(acc)) / window_steps
+        else:
+            pre_h = pre_t.replace(
+                sigmas=jnp.asarray(sp, pre_t.U.dtype) /
+                jnp.diagonal(lattice.R))
+            X, acc = _smk_window_xla(k_w, pre_h, lattice.Q, lattice.R, X,
+                                     window_steps)
+            acc_rate = float(acc)
+        jax.block_until_ready(X)
+        dt = _time.perf_counter() - t0
+        st.history.append({
+            "window": w, "sigma_prop": sp, "acceptance": acc_rate,
+            "samples_per_sec": n_chains * window_steps / max(dt, 1e-9),
+        })
+        gamma = 0.5 / (1.0 + st.step) ** 0.6
+        st = AdaptationState(
+            log_sigma=st.log_sigma + gamma * (acc_rate - target_acceptance),
+            step=st.step + 1, history=st.history)
     return st
 
 

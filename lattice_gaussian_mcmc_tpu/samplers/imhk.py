@@ -378,14 +378,28 @@ class IMHKSampler:
 
 
 class MetropolisKleinSampler:
-    """Symmetric Metropolis-Klein wrapper (local Klein proposal)."""
+    """Symmetric Metropolis-Klein wrapper (local Klein proposal).
+
+    The proposal is a Klein draw of width `proposal_sigma` centered at the
+    CURRENT lattice point; the acceptance uses the full MH ratio (the
+    Wang-Ling symmetric variant named by BASELINE config 4). Two backends:
+    the `lax.scan` chain (`sample`, trajectory semantics) and the fused
+    Pallas kernel (`sample_iid`, ops/kernels/smk_pallas.py — one dispatch
+    runs every step with the chain state VMEM-resident).
+    """
 
     def __init__(self, lattice: Lattice, sigma: float, proposal_sigma=None,
                  center=None, window: Optional[int] = None):
         self.lattice = lattice
         self.sigma = float(sigma)
         psigma = proposal_sigma if proposal_sigma is not None else sigma
-        self.pre = klein_precompute(lattice, sigma, center, window).replace(
+        self.proposal_sigma = float(psigma)
+        # target precomp (used by the Pallas kernel, which takes the
+        # proposal width separately) ...
+        self._target_pre = klein_precompute(lattice, sigma, center, window)
+        # ... and the XLA-path hybrid: proposal widths in .sigmas, target
+        # width in .sigma (what smk_step expects)
+        self.pre = self._target_pre.replace(
             sigmas=jnp.asarray(psigma) / jnp.diagonal(lattice.R))
         self._Q, self._R = lattice.Q, lattice.R
 
@@ -397,3 +411,57 @@ class MetropolisKleinSampler:
         if return_coeffs:
             return coeffs
         return klein_points(self.pre.basis, coeffs)
+
+    def sample_iid(self, key, num_samples: int, n_steps: int = 64,
+                   return_coeffs: bool = False, backend: str = "auto"):
+        """Run `num_samples` independent SMK chains `n_steps` steps each
+        from a Klein initialization; return the final states.
+
+        backend "pallas" uses the fused SMK kernel (requires TPU and
+        num_samples divisible by 256); "auto" falls back to the vmapped
+        XLA scan otherwise.
+        """
+        from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+            klein_sample_batch_pallas,
+            pallas_supported,
+        )
+        from lattice_gaussian_mcmc_tpu.ops.kernels.smk_pallas import (
+            smk_steps_batch_pallas,
+        )
+        if backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        n_steps = max(1, int(n_steps))
+        tile = max((t for t in (256, 512, 1024, 2048, 4096)
+                    if num_samples % t == 0), default=0)
+        if backend == "pallas" and not pallas_supported():
+            raise RuntimeError("backend='pallas' requires a TPU backend")
+        if backend == "pallas" and tile == 0:
+            raise ValueError(
+                f"backend='pallas' needs num_samples divisible by 256, got "
+                f"{num_samples}")
+        if backend == "xla" or tile == 0 or not pallas_supported():
+            keys = chain_keys(key, num_samples)
+            coeffs, states = jax.vmap(
+                lambda k: smk_chain(k, self.pre, self._Q, self._R,
+                                    n_samples=1, thin=1,
+                                    burn_in=n_steps - 1))(keys)
+            coeffs = coeffs.reshape(num_samples, self.lattice.n)
+            self.acceptance_rate = float(
+                jnp.sum(states.accepted) /
+                jnp.maximum(jnp.sum(states.steps), 1))
+        else:
+            k0, k1 = jax.random.split(jax.random.fold_in(key, 0x5111c))
+            coeffs, _ = klein_sample_batch_pallas(k0, self._target_pre,
+                                                  num_samples, tile=tile)
+            coeffs, acc = smk_steps_batch_pallas(
+                k1, self._target_pre, coeffs, n_steps,
+                sigma_prop=self.proposal_sigma, tile=tile)
+            self.acceptance_rate = float(jnp.mean(acc)) / n_steps
+        if return_coeffs:
+            return coeffs
+        return klein_points(self.pre.basis, coeffs)
+
+
+# BASELINE config 4 names the chain "symmetric Metropolis-Klein" (SMK);
+# export the sampler under that name too.
+SMKSampler = MetropolisKleinSampler

@@ -22,7 +22,10 @@ import jax.numpy as jnp
 
 from lattice_gaussian_mcmc_tpu.lattices.base import Lattice, smoothing_parameter
 from lattice_gaussian_mcmc_tpu.lattices.identity import sample_zn
-from lattice_gaussian_mcmc_tpu.samplers.imhk import IMHKSampler
+from lattice_gaussian_mcmc_tpu.samplers.imhk import (
+    IMHKSampler,
+    MetropolisKleinSampler,
+)
 from lattice_gaussian_mcmc_tpu.samplers.klein import KleinSampler
 from lattice_gaussian_mcmc_tpu.samplers.gibbs import annealed_gibbs_decode
 
@@ -31,8 +34,13 @@ class UnifiedLatticeSampler:
     """Type-dispatching sampler facade (reference :291-334)."""
 
     def __init__(self, lattice: Lattice, sigma: Optional[float] = None,
-                 exact: bool = False, window: Optional[int] = None):
+                 exact: bool = False, window: Optional[int] = None,
+                 algorithm: Optional[str] = None,
+                 proposal_sigma: Optional[float] = None):
         """`exact=True` uses IMHK (MH-corrected); otherwise plain Klein.
+        `algorithm` overrides the dispatch explicitly: one of
+        "direct"/"klein"/"imhk"/"smk" (smk = symmetric Metropolis-Klein,
+        BASELINE config 4; `proposal_sigma` sets its local-move width).
         sigma defaults to 1.5 x the smoothing-parameter bound."""
         self.lattice = lattice
         self.kind = lattice.meta.get("kind", "generic")
@@ -40,18 +48,28 @@ class UnifiedLatticeSampler:
             sigma = 1.5 * float(smoothing_parameter(lattice))
         self.sigma = float(sigma)
         self.exact = exact
-        if self.kind == "identity":
+        if algorithm is None:
+            algorithm = ("direct" if self.kind == "identity"
+                         else ("imhk" if exact else "klein"))
+        if algorithm not in ("direct", "klein", "imhk", "smk"):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        if algorithm == "direct" and self.kind != "identity":
+            raise ValueError("direct sampling is exact only on Z^n")
+        self._algorithm = algorithm
+        if algorithm == "direct":
             self._impl = None  # direct path
-        elif exact:
+        elif algorithm == "imhk":
             self._impl = IMHKSampler(lattice, self.sigma, window=window)
+        elif algorithm == "smk":
+            self._impl = MetropolisKleinSampler(
+                lattice, self.sigma, proposal_sigma=proposal_sigma,
+                window=window)
         else:
             self._impl = KleinSampler(lattice, self.sigma, window=window)
 
     @property
     def algorithm(self) -> str:
-        if self.kind == "identity":
-            return "direct"
-        return "imhk" if self.exact else "klein"
+        return self._algorithm
 
     def sample(self, key, num_samples: int, **kw):
         """(num_samples, n) lattice points."""

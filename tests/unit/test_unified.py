@@ -72,3 +72,36 @@ def test_triangular_structure():
     t = triangular_structure_analysis(P)
     assert t["upper_mass"] > t["lower_mass"]
     assert t["asymmetry"] > 0
+
+
+def test_unified_smk_dispatch(key):
+    """algorithm="smk" routes to the symmetric Metropolis-Klein sampler
+    (BASELINE config 4) and samples at the target law."""
+    basis = np.array([[2.0, 1.0], [0.0, 3.0]])
+    lat = lattice_from_basis(basis, dtype=jnp.float64)
+    s = UnifiedLatticeSampler(lat, sigma=5.0, algorithm="smk",
+                              proposal_sigma=3.0)
+    assert s.algorithm == "smk"
+    pts = s.sample(key, 400, burn_in=30)
+    assert pts.shape == (400, 2)
+    assert 0.0 < s._impl.acceptance_rate <= 1.0
+
+
+def test_smk_sample_iid_xla(key):
+    """SMKSampler.sample_iid (XLA fallback off-TPU) reaches the target
+    moments from Klein init."""
+    from lattice_gaussian_mcmc_tpu.samplers import SMKSampler
+
+    lat = identity_lattice(4, dtype=jnp.float64)
+    s = SMKSampler(lat, sigma=3.0, proposal_sigma=2.0)
+    pts = s.sample_iid(key, 512, n_steps=20)
+    assert pts.shape == (512, 4)
+    assert abs(float(jnp.std(pts)) - 3.0) < 0.25
+    assert 0.0 < s.acceptance_rate <= 1.0
+
+
+def test_unified_rejects_unknown_algorithm():
+    lat = identity_lattice(4, dtype=jnp.float64)
+    import pytest
+    with pytest.raises(ValueError):
+        UnifiedLatticeSampler(lat, sigma=3.0, algorithm="nope")
