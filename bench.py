@@ -48,7 +48,13 @@ def main():
         sigma = falcon_parameters(1024 if n_ring >= 1024 else 512)["sigma"]
     else:
         sigma = 1.3 * float(jnp.max(lat.gs_norms))
-    pre = klein_precompute(lat, sigma)
+    # window policy: tau conditional-sigmas half-width. The bench default
+    # (BENCH_TAU=4.4) trades ~1e-5 per-coordinate tail mass (far below the
+    # TVD<0.02 gate; ~1% of dim-1024 samples have any truncated coordinate)
+    # for ~15% throughput; scripts/validate_pallas_scale.py validates the
+    # SAME tau against the f64 oracle (VAL_TAU).
+    tau = float(os.environ.get("BENCH_TAU", "4.4"))
+    pre = klein_precompute(lat, sigma, tau=tau)
 
     key = jax.random.key(0)
     if impl == "pallas":
@@ -107,6 +113,8 @@ def main():
         "n_chains": n_chains,
         "dim": 2 * n_ring,
         "sigma": sigma,
+        "window": int(pre.window),
+        "window_tau": tau,
         "impl": impl,
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]).replace(" ", "_"),
@@ -125,7 +133,7 @@ def main():
         )
 
         sigma_h = 0.45 * float(jnp.max(lat.gs_norms))
-        pre_h = klein_precompute(lat, sigma_h)
+        pre_h = klein_precompute(lat, sigma_h, tau=tau)
         Bh = min(n_chains, 131072)
         Xh, lwh = klein_sample_batch_pallas(jax.random.fold_in(key, 100),
                                             pre_h, Bh, tile=tile)

@@ -27,7 +27,7 @@ Process layout: the TPU Pallas phase runs in the main process with default
 (f32) precision — the Mosaic kernel does not lower under jax_enable_x64.
 The f64 XLA reference phase runs in a CPU subprocess (`--cpu-phase`) with
 x64 on; arrays are exchanged via npz. Writes
-results/pallas_validation/validation.json; exits nonzero on gate failure.
+results/pallas_validation/validation_dim<dim>.json; exits nonzero on gate failure.
 """
 
 from __future__ import annotations
@@ -88,9 +88,48 @@ def cpu_phase(out_npz: str, n_ring: int, sigma: float, window: int,
         sigmas=np.asarray(pre.sigmas), max_gs=float(jnp.max(lat.gs_norms)))
 
 
-def run_cpu_phase(tmp: str, name: str, **kw) -> dict:
+def smk_cpu_phase(out_npz: str, n_ring: int, sigma: float, sigma_prop: float,
+                  window: int, n_chains: int, n_steps: int, seed: int) -> None:
+    """f64 XLA oracle for the SMK law: Klein init at the target width, then
+    n_steps vmapped `smk_step` (samplers/imhk.py) at proposal width
+    sigma_prop with the SAME window the fused kernel uses."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from lattice_gaussian_mcmc_tpu.lattices import ntru_lattice
+    from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+    from lattice_gaussian_mcmc_tpu.samplers.adaptation import _smk_window_xla
+    from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
+        klein_sample_batch_blocked,
+    )
+
+    lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
+                       dtype=jnp.float64)
+    pre_t = klein_precompute(lat, sigma)
+    key = jax.random.key(seed + 2000)
+    t0 = time.perf_counter()
+    X0, _ = klein_sample_batch_blocked(key, pre_t, n_chains, 128)
+    X0 = jax.block_until_ready(X0)
+    t_klein = time.perf_counter() - t0
+    pre_h = klein_precompute(lat, sigma, window=window).replace(
+        sigmas=jnp.asarray(sigma_prop, jnp.float64) / jnp.diagonal(lat.R))
+    t0 = time.perf_counter()
+    Xs, acc = _smk_window_xla(jax.random.fold_in(key, 1), pre_h, lat.Q,
+                              lat.R, X0, n_steps)
+    Xs, acc = jax.block_until_ready((Xs, acc))
+    t_smk = time.perf_counter() - t0
+    np.savez_compressed(
+        out_npz, smk_coeffs=np.asarray(Xs),
+        acc_total=float(acc) * n_chains * n_steps,
+        n_chains=n_chains, n_steps=n_steps,
+        t_klein_s=t_klein, t_imhk_s=t_smk)
+
+
+def run_cpu_phase(tmp: str, name: str, phase: str = "--cpu-phase",
+                  **kw) -> dict:
     out = os.path.join(tmp, f"cpu_{name}.npz")
-    args = [sys.executable, os.path.abspath(__file__), "--cpu-phase", out]
+    args = [sys.executable, os.path.abspath(__file__), phase, out]
     args += [f"{k}={v}" for k, v in kw.items()]
     r = subprocess.run(args, cwd=REPO, capture_output=True, text=True,
                        timeout=3000)
@@ -248,7 +287,10 @@ def f32_cond_mean_error(U64, cs64, sig64, window, X, n_check=1024):
 def validate_regime(name, sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps,
                     seed, ks_seeds: int = 1):
     from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
-    pre32 = klein_precompute(lat32, sigma)
+    # VAL_TAU: validate the same window policy the bench runs (BENCH_TAU);
+    # the f64 oracle phase receives the resulting window explicitly
+    tau = float(os.environ.get("VAL_TAU", "4.4"))
+    pre32 = klein_precompute(lat32, sigma, tau=tau)
     window = pre32.window
     # VMEM budget: the fused kernel keeps Uh+Ulo (8 n^2 bytes = 33 MB at
     # dim 2048) plus ~4 (n, tile) f32 buffers resident; at dim 2048 tile
@@ -271,6 +313,7 @@ def validate_regime(name, sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps,
     out = {
         "sigma": float(sigma),
         "window": int(window),
+        "window_tau": tau,
         "n_pallas": n_tpu, "n_f64": n_cpu, "n_steps": n_steps,
         "moments_klein": moment_check(res_tpu["klein_coeffs"],
                                       res_cpu["klein_coeffs"]),
@@ -314,6 +357,69 @@ def validate_regime(name, sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps,
     return out
 
 
+def validate_smk(sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps, seed):
+    """SMK fused-kernel law vs the f64 XLA `smk_step` oracle: both run
+    Klein-init + n_steps symmetric Metropolis-Klein at the RWM-optimal
+    proposal width; final-state moments and pooled acceptance must agree
+    (VERDICT r3 missing #1 — validate the SMK kernel like the IMHK one)."""
+    import jax
+    import jax.numpy as jnp
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        klein_sample_batch_pallas,
+    )
+    from lattice_gaussian_mcmc_tpu.ops.kernels.smk_pallas import (
+        smk_steps_batch_pallas,
+    )
+    from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+    from lattice_gaussian_mcmc_tpu.samplers.klein import suggest_window
+
+    pre32 = klein_precompute(lat32, sigma)
+    n = 2 * n_ring
+    sigma_prop = 2.38 * float(sigma) / float(np.sqrt(n))
+    window = min(suggest_window(float(jnp.max(
+        pre32.sigmas * (sigma_prop / sigma))), ), 1024)
+    tile = 4096 if n <= 1024 else 1024
+    print(f"[smk] sigma={sigma:.2f} sigma_prop={sigma_prop:.3f} "
+          f"window={window} n_tpu={n_tpu} n_cpu={n_cpu}", flush=True)
+    key = jax.random.key(seed)
+    t0 = time.perf_counter()
+    X0, _ = klein_sample_batch_pallas(key, pre32, n_tpu, tile=tile)
+    X0 = jax.block_until_ready(X0)
+    t_klein = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Xs, acc = smk_steps_batch_pallas(jax.random.fold_in(key, 1), pre32, X0,
+                                     n_steps, sigma_prop=sigma_prop,
+                                     tile=0)
+    Xs, acc = jax.block_until_ready((Xs, acc))
+    t_smk = time.perf_counter() - t0
+    res_tpu = {
+        "smk_coeffs": np.asarray(Xs),
+        "acceptance": float(np.sum(np.asarray(acc))) / (n_tpu * n_steps),
+        "n_chains": n_tpu, "n_steps": n_steps,
+    }
+    print(f"[smk] pallas: klein {t_klein:.1f}s smk {t_smk:.1f}s "
+          f"acc={res_tpu['acceptance']:.4f}", flush=True)
+    res_cpu = run_cpu_phase(tmp, "smk", phase="--smk-cpu-phase",
+                            n_ring=n_ring, sigma=sigma,
+                            sigma_prop=sigma_prop, window=window,
+                            n_chains=n_cpu, n_steps=n_steps, seed=seed)
+    print(f"[smk] f64 xla: klein {float(res_cpu['t_klein_s']):.1f}s smk "
+          f"{float(res_cpu['t_imhk_s']):.1f}s "
+          f"acc={res_cpu['acceptance']:.4f}", flush=True)
+    out = {
+        "sigma": float(sigma), "sigma_prop": sigma_prop,
+        "window": int(window),
+        "n_pallas": n_tpu, "n_f64": n_cpu, "n_steps": n_steps,
+        "moments_smk": moment_check(res_tpu["smk_coeffs"],
+                                    res_cpu["smk_coeffs"]),
+        "acceptance": acceptance_check(res_tpu, res_cpu),
+        "pallas_smk_steps_per_sec": n_tpu * n_steps / t_smk,
+    }
+    out["passed"] = bool(out["moments_smk"]["passed"]
+                         and out["acceptance"]["passed"])
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -352,13 +458,28 @@ def main():
                                     ks_seeds=int(os.environ.get(
                                         "VAL_KS_SEEDS", "3"))),
         }
+        if os.environ.get("VAL_SMK", "1") == "1":
+            results["smk"] = validate_smk(
+                sigma_hard, lat32, tmp, n_ring,
+                n_tpu=int(os.environ.get("VAL_SMK_N_TPU", "32768")),
+                n_cpu=int(os.environ.get("VAL_SMK_N_CPU", "1024")),
+                n_steps=int(os.environ.get("VAL_SMK_STEPS", "8")), seed=9)
     results["all_passed"] = bool(results["smooth"]["passed"]
-                                 and results["hard"]["passed"])
+                                 and results["hard"]["passed"]
+                                 and results.get("smk",
+                                                 {"passed": True})["passed"])
 
     out_dir = os.path.join(REPO, "results", "pallas_validation")
     os.makedirs(out_dir, exist_ok=True)
-    fname = ("validation.json" if n_ring == 512
-             else f"validation_{n_ring}.json")
+    # artifact hygiene (VERDICT r3 weak #7): name by LATTICE DIMENSION, and
+    # say explicitly that in-file rates are harness rates, not kernel rates
+    results["dim"] = 2 * n_ring
+    results["rates_are_validation_harness_not_kernel"] = True
+    results["rate_note"] = (
+        "rates inside this file come from the validation HARNESS (small "
+        "batches + tunnel readback of full sample sets), ~30x below kernel "
+        "throughput; see BENCH_r*.json / results/benchmark for kernel rates")
+    fname = f"validation_dim{2 * n_ring}.json"
     with open(os.path.join(out_dir, fname), "w") as f:
         json.dump(results, f, indent=2, default=float)
     for reg in ("smooth", "hard"):
@@ -371,6 +492,11 @@ def main():
               f"{ks_desc}, "
               f"acc diff {r['acceptance']['abs_diff']:.4f}, "
               f"f32 err/sigma {r['f32_cond_mean']['max_err_over_sigma']:.2e})")
+    if "smk" in results:
+        r = results["smk"]
+        print(f"smk: {'PASS' if r['passed'] else 'FAIL'} "
+              f"(moments {r['moments_smk']['frac_mean_within_3se']:.3f}, "
+              f"acc diff {r['acceptance']['abs_diff']:.4f})")
     print(f"all_passed: {results['all_passed']}")
     return 0 if results["all_passed"] else 1
 
@@ -383,5 +509,14 @@ if __name__ == "__main__":
                   sigma=float(kw["sigma"]), window=int(kw["window"]),
                   n_klein=int(kw["n_klein"]), n_chains=int(kw["n_chains"]),
                   n_steps=int(kw["n_steps"]), seed=int(kw["seed"]))
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "--smk-cpu-phase":
+        out_npz = sys.argv[2]
+        kw = dict(a.split("=", 1) for a in sys.argv[3:])
+        smk_cpu_phase(out_npz, n_ring=int(kw["n_ring"]),
+                      sigma=float(kw["sigma"]),
+                      sigma_prop=float(kw["sigma_prop"]),
+                      window=int(kw["window"]), n_chains=int(kw["n_chains"]),
+                      n_steps=int(kw["n_steps"]), seed=int(kw["seed"]))
         sys.exit(0)
     sys.exit(main())

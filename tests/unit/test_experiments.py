@@ -137,3 +137,46 @@ def test_klein_scaling_pipeline(tmp_path):
     assert (tmp_path / "klein_scaling.csv").exists()
     data = json.loads((tmp_path / "klein_scaling.json").read_text())
     assert data["all_passed"]
+
+
+@pytest.mark.slow
+def test_decoding_driver_green(tmp_path):
+    """BASELINE config 5 driver: gates pass at quick budgets and the
+    stochastic decoders beat Babai somewhere in the midrange."""
+    from lattice_gaussian_mcmc_tpu.experiments.decoding import (
+        DecodingConfig,
+        run_decoding,
+    )
+    cfg = DecodingConfig(output_dir=str(tmp_path), dimensions=(16, 32),
+                         n_targets=24, rho_grid=(0.05, 0.3, 0.5),
+                         gibbs_sweeps=24, gibbs_chains=12, mhk_steps=64)
+    out = run_decoding(cfg)
+    assert out["all_passed"] is True, out["gates"]
+    assert os.path.exists(tmp_path / "decoding_results.json")
+    assert os.path.exists(tmp_path / "decoding_success.png")
+    # success degrades with noise for every method
+    for m in ("babai", "gibbs", "mhk"):
+        by_rho = {}
+        for r in out["rows"]:
+            by_rho.setdefault(r["rho"], []).append(r[f"success_{m}"])
+        rhos = sorted(by_rho)
+        assert np.mean(by_rho[rhos[0]]) >= np.mean(by_rho[rhos[-1]])
+
+
+@pytest.mark.slow
+def test_adaptation_driver_green(tmp_path):
+    """BASELINE config 4 driver (XLA path off-TPU): sigma_prop adaptation
+    converges to the target acceptance on a small NTRU lattice."""
+    from lattice_gaussian_mcmc_tpu.experiments.adaptation import (
+        AdaptationConfig,
+        run_adaptation,
+    )
+    cfg = AdaptationConfig(output_dir=str(tmp_path), ntru_n=16,
+                           n_chains=512, n_windows=8, window_steps=4)
+    out = run_adaptation(cfg)
+    assert out["all_passed"] is True, out["gates"]
+    assert abs(out["acceptance_final"] - out["target_acceptance"]) <= 0.08
+    # the acceptance curve is monotone in proposal width around sigma*
+    assert out["acceptance_at_2x_width"] < out["acceptance_final"]
+    assert out["acceptance_at_half_width"] > out["acceptance_final"]
+    assert os.path.exists(tmp_path / "adaptation_ntru.json")
