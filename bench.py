@@ -143,18 +143,27 @@ def main():
         T = int(os.environ.get("BENCH_HARD_T", "48"))
         acc_h = jnp.zeros((Bh,), jnp.float32)
         # warmup/compile + burn-in with the same executable shape
-        Xh, lwh, _, _, _ = imhk_trajectory_pallas(
+        Xh, lwh, _, _, tlw_warm = imhk_trajectory_pallas(
             jax.random.fold_in(key, 101), pre_h, Xh, lwh, acc_h, n_keep=T,
             thin=1, tile=tile, traj_coeffs=False)
+        # diagnostics stay ON DEVICE: the (T, B) ring is reduced to a
+        # (max_lag,) pooled ACF by pooled_acf before anything crosses the
+        # tunneled host link (~10 MB/s — hauling the 25 MB ring was ~75% of
+        # r3's trajectory-mode wall clock; see
+        # results/kernel_profile/trajectory_breakdown.json)
+        from lattice_gaussian_mcmc_tpu.diagnostics.mcmc import pooled_acf
+        max_lag = T // 2
+        _ = np.asarray(pooled_acf(tlw_warm, max_lag=max_lag))  # compile
         t0 = time.perf_counter()
         Xh, lwh, _, _, tlw = imhk_trajectory_pallas(
             jax.random.fold_in(key, 102), pre_h, Xh, lwh,
             jnp.zeros((Bh,), jnp.float32), n_keep=T, thin=1, tile=tile,
             traj_coeffs=False)
-        lw_traj = np.asarray(tlw)          # (T, Bh); forces completion
+        rho = np.asarray(pooled_acf(tlw, max_lag=max_lag))  # (max_lag,) only
         dt_h = time.perf_counter() - t0
-        result.setdefault("trajectory_mode", {})[
-            "samples_per_sec_with_ring"] = round(Bh * T / dt_h, 1)
+        result.setdefault("trajectory_mode", {}).update(
+            samples_per_sec_with_ring=round(Bh * T / dt_h, 1),
+            diagnostics_on_device=True)
         # steady-state acceptance over a timed fused run (dispatch-free);
         # warm the n_steps executable first (n_steps is a static arg — a
         # cold call would time the compile, not the kernel)
@@ -168,20 +177,12 @@ def main():
         float(jnp.sum(lwh))  # scalar force: see the note above
         sps_h = Bh * n_steps / (time.perf_counter() - t0)
         a_h = float(jnp.mean(acc_h)) / n_steps
-        # pooled ACF across chains of the log-weight summary -> tau_int
-        centered = lw_traj - lw_traj.mean(axis=0, keepdims=True)
-        max_lag = T // 2
-        num = np.zeros(max_lag)
-        for lag in range(max_lag):
-            num[lag] = np.mean(centered[:T - lag] * centered[lag:T if lag
-                                                             else None])
-        rho = num / num[0]
         # Sokal window: first lag where rho < 0.05 or window exhausted
         tau = 0.5
         for lag in range(1, max_lag):
             if rho[lag] < 0.05:
                 break
-            tau += rho[lag]
+            tau += float(rho[lag])
         ess_per_sample = 1.0 / (2.0 * tau)
         result["hard_regime"] = {
             "sigma": sigma_h,

@@ -30,6 +30,28 @@ def autocorrelation(x, max_lag: int = 256):
     return acf[: max_lag + 1]
 
 
+@partial(jax.jit, static_argnames=("max_lag",))
+def pooled_acf(ring, max_lag: int = 24):
+    """Cross-chain pooled ACF of a (T, B) trajectory ring, ON DEVICE.
+
+    Chains are centered per-chain over time; lag-l autocovariance pools the
+    products over every chain and admissible time pair. Designed for the
+    fused trajectory kernel's HBM ring: the (T, B) array never leaves the
+    device — only the (max_lag,) ACF crosses the host link, which on the
+    tunneled single-chip setup is ~10 MB/s and would otherwise dominate the
+    whole trajectory dispatch (results/kernel_profile/trajectory_breakdown
+    .json quantifies this). Parity: same estimator as the host-side loop
+    the r3 bench used (reference mcmc_diag.py:12-33 pooled over chains).
+    """
+    T = ring.shape[0]
+    xc = ring - jnp.mean(ring, axis=0, keepdims=True)
+    num = [jnp.mean(xc * xc)]
+    for lag in range(1, max_lag):
+        num.append(jnp.mean(xc[: T - lag] * xc[lag:]))
+    num = jnp.stack(num)
+    return num / jnp.maximum(num[0], jnp.finfo(ring.dtype).tiny)
+
+
 @partial(jax.jit, static_argnames=("max_lag", "c"))
 def integrated_autocorr_time(x, max_lag: int = 256, c: float = 5.0):
     """tau_int with Sokal's automatic windowing: tau(W) = 1 + 2 sum_{t<=W}

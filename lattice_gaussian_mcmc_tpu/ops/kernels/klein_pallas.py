@@ -73,7 +73,22 @@ import numpy as np
 # tril@w_lo. Measured on v5e (n=1024, window=24, tile=4096): concat 5.72 vs
 # twodot 4.75 M samples/s — the two dependent MXU issues on the serial
 # row-loop critical path cost more than the concatenate's VPU copies.
+# "high" drops the manual split entirely and asks the MXU for a
+# 3-pass bf16x3 dot (precision=HIGH): same error order as the manual split
+# (the residual's own bf16 rounding, ~2^-16 relative) with zero VPU
+# split/concat passes.
 _CDF_MODE = os.environ.get("KLEIN_CDF_MODE", "concat")
+# "3pass" computes lm = -a*(offs_half + delta*offs) (3 (window, tile) VPU
+# passes); "2pass" the algebraically identical (-a*offs_half) +
+# (-a*delta)*offs, putting one multiply on the cheap (window, 1)/(1, tile)
+# operands so only the outer product and one broadcast-add touch the full
+# (window, tile) shape.
+_LOGITS_MODE = os.environ.get("KLEIN_LOGITS_MODE", "3pass")
+# "split" (default) computes every state-coupling dot as Uh@x + Ulo@x with
+# the manual bf16 split; "high" passes the full-precision U once and asks
+# the MXU for a bf16x3 pass (one dot issue instead of two on the serial
+# row-loop critical path; Ulo/the uw mirror become dead weight).
+_COUPLING_MODE = os.environ.get("KLEIN_COUPLING_MODE", "split")
 
 from lattice_gaussian_mcmc_tpu.samplers.klein import KleinPrecomp
 
@@ -262,7 +277,12 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
             return base, base * 1e-8, one
         delta = base - c                          # (1, tile), in [-.5, .5]
         a = isg_row * isg_row
-        lm = -a * (offs_half + delta * offs)      # logits - m, (window, tile)
+        if _LOGITS_MODE == "2pass":
+            # only the outer product and one broadcast-add are full
+            # (window, tile) passes; the scalings ride the small operands
+            lm = offs * (-a * delta) + offs_half * (-a)
+        else:
+            lm = -a * (offs_half + delta * offs)  # logits - m, (window, tile)
         m = (-0.5) * a * (delta * delta)          # (1, tile)
         if "no_exp" in ablate:
             w = 1.0 + lm
@@ -278,6 +298,10 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
             target = u01 * total
             idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
                           keepdims=True)
+        elif _CDF_MODE == "high":
+            # hardware bf16x3: the MXU does the hi/lo decomposition itself
+            cdf = jnp.dot(tril, w, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
         else:
             # bf16-split cumsum: w_hi is bf16-exact so its MXU pass is
             # exact; the residual contributes the correction (see
@@ -322,11 +346,16 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
             # cross-block tail contribution (MXU): (BLOCK, n-hi) @ (n-hi, tile)
             if hi < n:
                 xt = out_ref[hi:, :]
-                th = jnp.dot(u_ref[lo:hi, hi:], xt,
-                             preferred_element_type=jnp.float32)
-                if "no_ulo_cross" not in ablate:
-                    th = th + jnp.dot(ul_ref[lo:hi, hi:], xt,
-                                      preferred_element_type=jnp.float32)
+                if _COUPLING_MODE == "high":
+                    th = jnp.dot(u_ref[lo:hi, hi:], xt,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGH)
+                else:
+                    th = jnp.dot(u_ref[lo:hi, hi:], xt,
+                                 preferred_element_type=jnp.float32)
+                    if "no_ulo_cross" not in ablate:
+                        th = th + jnp.dot(ul_ref[lo:hi, hi:], xt,
+                                          preferred_element_type=jnp.float32)
                 t_ref[:] = th
             else:
                 t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
@@ -352,7 +381,11 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
                 # own rows are still zero there, their coupling comes from
                 # z_ref via ud8), so ONE (8, 2*BLOCK) matmul covers all 8
                 # rows of both split halves.
-                if "no_split_s8" in ablate:
+                if _COUPLING_MODE == "high":
+                    s8 = jnp.dot(u8w[:, :BLOCK], xx_ref[:BLOCK, :],
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGH)
+                elif "no_split_s8" in ablate:
                     s8 = jnp.dot(u8w[:, :BLOCK], xx_ref[:BLOCK, :],
                                  preferred_element_type=jnp.float32)
                 else:
@@ -488,6 +521,10 @@ def _kernel_operands(ppre):
     n = ppre.U.shape[0]
     U = ppre.U.astype(jnp.float32)
     Uh, Ulo = _bf16_split(U)
+    if _COUPLING_MODE == "high":
+        # hardware bf16x3 consumes the full-precision operand directly; the
+        # residual array is dead weight kept only for operand-shape parity
+        Uh, Ulo = U, jnp.zeros_like(U)
     ud = _diag_block_table(U)
     # within-block split operand for the single-dot s8 coupling:
     # uw[i] = [Uh[i, blk(i)] | Ulo[i, blk(i)]]
