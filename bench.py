@@ -178,23 +178,57 @@ def main():
         sps_h = Bh * n_steps / (time.perf_counter() - t0)
         a_h = float(jnp.mean(acc_h)) / n_steps
         # Sokal window: first lag where rho < 0.05 or window exhausted
-        tau = 0.5
+        tau_sokal = 0.5
         for lag in range(1, max_lag):
             if rho[lag] < 0.05:
                 break
-            tau += float(rho[lag])
-        ess_per_sample = 1.0 / (2.0 * tau)
+            tau_sokal += float(rho[lag])
+        ess_per_sample = 1.0 / (2.0 * tau_sokal)
         result["hard_regime"] = {
             "sigma": sigma_h,
             "sigma_over_max_gs": 0.45,
             "samples_per_sec": round(sps_h, 1),
             "acceptance_rate": round(a_h, 4),
-            "tau_int_measured": round(float(tau), 3),
+            "tau_int_measured": round(float(tau_sokal), 3),
             "ess_per_sample_measured": round(float(ess_per_sample), 4),
             "ess_per_sec_measured": round(sps_h * ess_per_sample, 1),
             "ess_per_sec_independence_formula": round(
                 sps_h * a_h / (2.0 - a_h), 1),
             "traj_steps": T,
+        }
+
+    # SMK row (BASELINE config 4): fused symmetric Metropolis-Klein at the
+    # RWM-optimal proposal width on the same lattice. Disable: BENCH_SMK=0.
+    if os.environ.get("BENCH_SMK", "1") == "1" and impl == "pallas":
+        from lattice_gaussian_mcmc_tpu.ops.kernels.smk_pallas import (
+            smk_steps_batch_pallas,
+        )
+        sigma_s = 0.45 * float(jnp.max(lat.gs_norms))
+        pre_s = klein_precompute(lat, sigma_s, tau=tau)
+        Bs = min(n_chains, 131072)
+        Xs, _ = klein_sample_batch_pallas(jax.random.fold_in(key, 400),
+                                          pre_s, Bs, tile=tile)
+        Ts = int(os.environ.get("BENCH_SMK_STEPS", "32"))
+        # 0.45*sigma: the widest proposal with real movement before the
+        # discrete-RWM acceptance collapse (see scripts/validate_pallas_
+        # scale.py validate_smk) — the width regime sigma-adaptation finds
+        sp_s = 0.45 * sigma_s
+        Xs, acc_s = smk_steps_batch_pallas(jax.random.fold_in(key, 401),
+                                           pre_s, Xs, Ts,
+                                           sigma_prop=sp_s)  # compile+burn
+        float(jnp.sum(acc_s))
+        t0 = time.perf_counter()
+        Xs, acc_s = smk_steps_batch_pallas(jax.random.fold_in(key, 402),
+                                           pre_s, Xs, Ts, sigma_prop=sp_s)
+        a_s = float(jnp.sum(acc_s)) / (Bs * Ts)  # scalar force + acceptance
+        sps_s = Bs * Ts / (time.perf_counter() - t0)
+        result["smk"] = {
+            "samples_per_sec": round(sps_s, 1),
+            "acceptance_rate": round(a_s, 4),
+            "sigma_over_max_gs": 0.45,
+            "sigma_prop": round(sp_s, 3),
+            "n_chains": Bs,
+            "n_steps": Ts,
         }
 
     try:

@@ -89,6 +89,9 @@ _LOGITS_MODE = os.environ.get("KLEIN_LOGITS_MODE", "3pass")
 # the MXU for a bf16x3 pass (one dot issue instead of two on the serial
 # row-loop critical path; Ulo/the uw mirror become dead weight).
 _COUPLING_MODE = os.environ.get("KLEIN_COUPLING_MODE", "split")
+# scoped-VMEM ceiling for the kernels (v5e has 128 MB; 100 MB leaves slack
+# for Mosaic's own staging). Raised only for tile-width experiments.
+_VMEM_MB = int(os.environ.get("KLEIN_VMEM_MB", "100"))
 
 from lattice_gaussian_mcmc_tpu.samplers.klein import KleinPrecomp
 
@@ -607,7 +610,7 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
             pltpu.VMEM((2 * BLOCK, tile), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_MB * 1024 * 1024),
         interpret=interpret,
     )(seed, Uh, Ulo, uw, ud, cs, isg, unif)
     return x[:n_real, :].T + kshift[None, :n_real], lw[0]
@@ -699,7 +702,7 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
         # state buffer exists in VMEM per program
         input_output_aliases={8: 0, 9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_MB * 1024 * 1024),
         interpret=interpret,
     )(seed, Uh, Ulo, uw, ud, cs, isg, unif, xold, lwold, accold)
     return x[:n_real, :].T + kshift[None, :n_real], lw[0], acc_out[0]
@@ -795,7 +798,7 @@ def imhk_trajectory_pallas(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
         ],
         input_output_aliases={8: 0, 9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_MB * 1024 * 1024),
         interpret=interpret,
     )(seed, Uh, Ulo, uw, ud, cs, isg, unif, xold, lwold, accold)
     if traj_coeffs:
@@ -929,7 +932,7 @@ def babai_decode_batch_pallas(pre: KleinPrecomp, targets: jax.Array,
             pltpu.VMEM((GROUP, tile), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_MB * 1024 * 1024),
         interpret=interpret,
     )(Uh, Ulo, ud, ct_full)
     return (x + kshift)[:n_real, :].T

@@ -40,7 +40,6 @@ and the MH log-ratio terms are Kahan-compensated.
 from __future__ import annotations
 
 import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,10 +82,11 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
         # debug outputs (n_steps == 1): the raw proposal, its centers, and
         # the MH components [lwf, lwr, qn, qc, log_alpha] as (8, tile)
         (pdbg_ref, ctndbg_ref, comp_ref,
-         t_ref, z_ref, cn8_ref, xx_ref, p_ref, ctn_ref, ct_ref) = rest
+         t_ref, z_ref, cn8_ref, xx_ref, p_ref, ctn_ref, ct_ref,
+         xs_ref) = rest
     else:
-        t_ref, z_ref, cn8_ref, xx_ref, p_ref, ctn_ref, ct_ref = rest
-    del xold_ref  # aliased to x_ref
+        (t_ref, z_ref, cn8_ref, xx_ref, p_ref, ctn_ref, ct_ref,
+         xs_ref) = rest
     prog = pl.program_id(0)
     if not host_rng:
         pltpu.prng_seed(seed_ref[0, 0] + prog * 6271)
@@ -216,7 +216,7 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
             i8 = pl.multiple_of(gidx * GROUP, GROUP)
             ctc8 = ct_ref[pl.ds(i8, GROUP), :]
             ctn8 = ctn_ref[pl.ds(i8, GROUP), :]
-            x8 = x_ref[pl.ds(i8, GROUP), :]
+            x8 = xs_ref[pl.ds(i8, GROUP), :]
             msum = None
             tprod = None
             qn8 = None
@@ -249,12 +249,23 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
             (lwr, lwr_c, qn, qn_c, qc, qc_c))
         return lwr - lwr_c, qn - qn_c, qc - qc_c
 
+    # The chain state lives in the xs_ref SCRATCH for the whole kernel,
+    # loaded from a REGULAR (non-aliased) input window and stored to the
+    # pure output window once at the very end. The original design aliased
+    # the state in/out (like the IMHK kernel) and read the aliased window
+    # as the kernel's FIRST operation; on multi-program grids the read
+    # raced the window's input DMA and saw partial/stale data (hardware
+    # only — interpret mode and single-program grids were correct; the
+    # IMHK kernel survives because its first read of the aliased window
+    # happens a full proposal sweep later). Regular input windows carry
+    # their own arrival dependency, which is the semantics we need here.
+    xs_ref[:] = xold_ref[:]
     # initial centers: ct = U @ x~ per block — the full-row dot includes
     # j < i columns, which are zero in the upper-triangular U, so this is
     # exactly x~_i + sum_{j>i} U_ij x~_j
     for bi in range(nb):
         lo, hi = bi * BLOCK, (bi + 1) * BLOCK
-        xt = x_ref[lo:, :]
+        xt = xs_ref[lo:, :]
         ct_ref[lo:hi, :] = (
             jnp.dot(u_ref[lo:hi, lo:], xt,
                     preferred_element_type=jnp.float32)
@@ -283,11 +294,12 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
             u01 = uniform_block((1, tile))
         u01 = jnp.maximum(u01, 1e-30)
         accept = jnp.log(u01) < log_alpha
-        x_ref[:] = jnp.where(accept, p_ref[:], x_ref[:])
+        xs_ref[:] = jnp.where(accept, p_ref[:], xs_ref[:])
         ct_ref[:] = jnp.where(accept, ctn_ref[:], ct_ref[:])
         return acc_st + accept.astype(jnp.float32)
 
     acc_ref[:] = jax.lax.fori_loop(0, n_steps, step_body, accold_ref[:])
+    x_ref[:] = xs_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "n_steps", "window",
@@ -380,8 +392,8 @@ def _smk_steps_jit(key, pre: KleinPrecomp, coeffs, acc, sigmas_prop,
             pltpu.VMEM((n, tile), jnp.float32),          # proposal p
             pltpu.VMEM((n, tile), jnp.float32),          # ct_new
             pltpu.VMEM((n, tile), jnp.float32),          # ct current
+            pltpu.VMEM((n, tile), jnp.float32),          # xs chain state
         ],
-        input_output_aliases={9: 0, 10: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

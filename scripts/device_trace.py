@@ -28,7 +28,7 @@ import numpy as np  # noqa: E402
 def parse_xspace(logdir):
     """Aggregate event durations per (plane, event-name) from the captured
     xplane protobuf."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)

@@ -375,7 +375,14 @@ def validate_smk(sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps, seed):
 
     pre32 = klein_precompute(lat32, sigma)
     n = 2 * n_ring
-    sigma_prop = 2.38 * float(sigma) / float(np.sqrt(n))
+    # Proposal width: the RWM-optimal 2.38 sigma/sqrt(n) is DEGENERATE on a
+    # discrete lattice at crypto dimension (conditional widths ~0.01 =>
+    # the proposal never leaves the current point and acceptance is
+    # trivially ~1 — measured on hardware, see results/adaptation).
+    # Validate at 0.45*sigma instead: the widest width with nonzero
+    # movement before the RWM acceptance collapse (acc ~0.9 at 0.4, 0.0
+    # at 0.8), so the f32-vs-f64 comparison exercises real MH decisions.
+    sigma_prop = 0.45 * float(sigma)
     window = min(suggest_window(float(jnp.max(
         pre32.sigmas * (sigma_prop / sigma))), ), 1024)
     tile = 4096 if n <= 1024 else 1024
@@ -446,24 +453,36 @@ def main():
     # sigma_i >= 0.8 and the log-weight law is still degenerate)
     sigma_hard = 0.45 * max_gs
 
+    out_dir = os.path.join(REPO, "results", "pallas_validation")
+    prev_path = os.path.join(out_dir, f"validation_dim{2 * n_ring}.json")
+    # VAL_ONLY=smk: re-run only the SMK phase, merging the committed
+    # smooth/hard results from the existing artifact (they are expensive
+    # and independent of the SMK kernel)
+    only_smk = os.environ.get("VAL_ONLY", "") == "smk"
+    prev = None
+    if only_smk:
+        with open(prev_path) as f:
+            prev = json.load(f)
+
     with tempfile.TemporaryDirectory() as tmp:
         results = {
             "lattice": f"ntru-{n_ring} (dim {2 * n_ring})",
             "max_gs_norm": max_gs,
             "device": str(jax.devices()[0]).replace(" ", "_"),
-            "smooth": validate_regime("smooth", sigma_smooth, lat32, tmp,
-                                      n_ring, n_tpu, n_cpu, n_steps, seed=7),
-            "hard": validate_regime("hard", sigma_hard, lat32, tmp,
-                                    n_ring, n_tpu, n_cpu, n_steps, seed=8,
-                                    ks_seeds=int(os.environ.get(
-                                        "VAL_KS_SEEDS", "3"))),
+            "smooth": prev["smooth"] if only_smk else validate_regime(
+                "smooth", sigma_smooth, lat32, tmp,
+                n_ring, n_tpu, n_cpu, n_steps, seed=7),
+            "hard": prev["hard"] if only_smk else validate_regime(
+                "hard", sigma_hard, lat32, tmp,
+                n_ring, n_tpu, n_cpu, n_steps, seed=8,
+                ks_seeds=int(os.environ.get("VAL_KS_SEEDS", "3"))),
         }
         if os.environ.get("VAL_SMK", "1") == "1":
             results["smk"] = validate_smk(
                 sigma_hard, lat32, tmp, n_ring,
                 n_tpu=int(os.environ.get("VAL_SMK_N_TPU", "32768")),
                 n_cpu=int(os.environ.get("VAL_SMK_N_CPU", "1024")),
-                n_steps=int(os.environ.get("VAL_SMK_STEPS", "8")), seed=9)
+                n_steps=int(os.environ.get("VAL_SMK_STEPS", "48")), seed=9)
     results["all_passed"] = bool(results["smooth"]["passed"]
                                  and results["hard"]["passed"]
                                  and results.get("smk",
