@@ -48,13 +48,17 @@ def main():
         sigma = falcon_parameters(1024 if n_ring >= 1024 else 512)["sigma"]
     else:
         sigma = 1.3 * float(jnp.max(lat.gs_norms))
-    # window policy: tau conditional-sigmas half-width. The bench default
-    # (BENCH_TAU=4.4) trades ~1e-5 per-coordinate tail mass (far below the
-    # TVD<0.02 gate; ~1% of dim-1024 samples have any truncated coordinate)
-    # for ~15% throughput; scripts/validate_pallas_scale.py validates the
-    # SAME tau against the f64 oracle (VAL_TAU).
+    # window policy: total-tail-mass budget across the conditional-sigma
+    # profile (suggest_window_budget). BENCH_TAIL_BUDGET=0.005 keeps the
+    # summed truncation tail 4x under the TVD<0.02 gate and picks window 16
+    # on the NTRU-512 FALCON-sigma profile (the old worst-row tau=4.4 rule
+    # forced 24); scripts/validate_pallas_scale.py validates the SAME
+    # policy against the f64 oracle (VAL_TAIL_BUDGET). Set BENCH_TAIL_
+    # BUDGET=0 to fall back to the tau rule (BENCH_TAU).
     tau = float(os.environ.get("BENCH_TAU", "4.4"))
-    pre = klein_precompute(lat, sigma, tau=tau)
+    budget = float(os.environ.get("BENCH_TAIL_BUDGET", "0.005"))
+    tail_budget = budget if budget > 0 else None
+    pre = klein_precompute(lat, sigma, tau=tau, tail_budget=tail_budget)
 
     key = jax.random.key(0)
     if impl == "pallas":
@@ -115,6 +119,7 @@ def main():
         "sigma": sigma,
         "window": int(pre.window),
         "window_tau": tau,
+        "window_tail_budget": tail_budget,
         "impl": impl,
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]).replace(" ", "_"),
@@ -133,7 +138,8 @@ def main():
         )
 
         sigma_h = 0.45 * float(jnp.max(lat.gs_norms))
-        pre_h = klein_precompute(lat, sigma_h, tau=tau)
+        pre_h = klein_precompute(lat, sigma_h, tau=tau,
+                                 tail_budget=tail_budget)
         Bh = min(n_chains, 131072)
         Xh, lwh = klein_sample_batch_pallas(jax.random.fold_in(key, 100),
                                             pre_h, Bh, tile=tile)
@@ -204,7 +210,8 @@ def main():
             smk_steps_batch_pallas,
         )
         sigma_s = 0.45 * float(jnp.max(lat.gs_norms))
-        pre_s = klein_precompute(lat, sigma_s, tau=tau)
+        pre_s = klein_precompute(lat, sigma_s, tau=tau,
+                                 tail_budget=tail_budget)
         Bs = min(n_chains, 131072)
         Xs, _ = klein_sample_batch_pallas(jax.random.fold_in(key, 400),
                                           pre_s, Bs, tile=tile)

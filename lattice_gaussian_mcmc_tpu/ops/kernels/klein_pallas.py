@@ -73,22 +73,16 @@ import numpy as np
 # tril@w_lo. Measured on v5e (n=1024, window=24, tile=4096): concat 5.72 vs
 # twodot 4.75 M samples/s — the two dependent MXU issues on the serial
 # row-loop critical path cost more than the concatenate's VPU copies.
-# "high" drops the manual split entirely and asks the MXU for a
-# 3-pass bf16x3 dot (precision=HIGH): same error order as the manual split
-# (the residual's own bf16 rounding, ~2^-16 relative) with zero VPU
-# split/concat passes.
 _CDF_MODE = os.environ.get("KLEIN_CDF_MODE", "concat")
-# "3pass" computes lm = -a*(offs_half + delta*offs) (3 (window, tile) VPU
-# passes); "2pass" the algebraically identical (-a*offs_half) +
-# (-a*delta)*offs, putting one multiply on the cheap (window, 1)/(1, tile)
-# operands so only the outer product and one broadcast-add touch the full
-# (window, tile) shape.
-_LOGITS_MODE = os.environ.get("KLEIN_LOGITS_MODE", "3pass")
-# "split" (default) computes every state-coupling dot as Uh@x + Ulo@x with
-# the manual bf16 split; "high" passes the full-precision U once and asks
-# the MXU for a bf16x3 pass (one dot issue instead of two on the serial
-# row-loop critical path; Ulo/the uw mirror become dead weight).
-_COUPLING_MODE = os.environ.get("KLEIN_COUPLING_MODE", "split")
+# "2pass" (default) computes lm as (-a*offs_half) + (-a*delta)*offs,
+# putting one multiply on the cheap (window, 1)/(1, tile) operands so only
+# the outer product and one broadcast-add touch the full (window, tile)
+# shape; "3pass" is the algebraically identical -a*(offs_half + delta*offs)
+# (measured ~1.5% slower at n=1024/window=24/tile=4096).
+# NOTE: precision=HIGH (hardware bf16x3) is NOT implemented by Mosaic
+# (NotImplementedError: Unsupported dot precision) — the manual bf16-split
+# dots are the only fast exact option, which is why they exist.
+_LOGITS_MODE = os.environ.get("KLEIN_LOGITS_MODE", "2pass")
 # scoped-VMEM ceiling for the kernels (v5e has 128 MB; 100 MB leaves slack
 # for Mosaic's own staging). Raised only for tile-width experiments.
 _VMEM_MB = int(os.environ.get("KLEIN_VMEM_MB", "100"))
@@ -301,10 +295,6 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
             target = u01 * total
             idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
                           keepdims=True)
-        elif _CDF_MODE == "high":
-            # hardware bf16x3: the MXU does the hi/lo decomposition itself
-            cdf = jnp.dot(tril, w, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGH)
         else:
             # bf16-split cumsum: w_hi is bf16-exact so its MXU pass is
             # exact; the residual contributes the correction (see
@@ -349,16 +339,11 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
             # cross-block tail contribution (MXU): (BLOCK, n-hi) @ (n-hi, tile)
             if hi < n:
                 xt = out_ref[hi:, :]
-                if _COUPLING_MODE == "high":
-                    th = jnp.dot(u_ref[lo:hi, hi:], xt,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGH)
-                else:
-                    th = jnp.dot(u_ref[lo:hi, hi:], xt,
-                                 preferred_element_type=jnp.float32)
-                    if "no_ulo_cross" not in ablate:
-                        th = th + jnp.dot(ul_ref[lo:hi, hi:], xt,
-                                          preferred_element_type=jnp.float32)
+                th = jnp.dot(u_ref[lo:hi, hi:], xt,
+                             preferred_element_type=jnp.float32)
+                if "no_ulo_cross" not in ablate:
+                    th = th + jnp.dot(ul_ref[lo:hi, hi:], xt,
+                                      preferred_element_type=jnp.float32)
                 t_ref[:] = th
             else:
                 t_ref[:] = jnp.zeros((BLOCK, tile), jnp.float32)
@@ -384,11 +369,7 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
                 # own rows are still zero there, their coupling comes from
                 # z_ref via ud8), so ONE (8, 2*BLOCK) matmul covers all 8
                 # rows of both split halves.
-                if _COUPLING_MODE == "high":
-                    s8 = jnp.dot(u8w[:, :BLOCK], xx_ref[:BLOCK, :],
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGH)
-                elif "no_split_s8" in ablate:
+                if "no_split_s8" in ablate:
                     s8 = jnp.dot(u8w[:, :BLOCK], xx_ref[:BLOCK, :],
                                  preferred_element_type=jnp.float32)
                 else:
@@ -524,10 +505,6 @@ def _kernel_operands(ppre):
     n = ppre.U.shape[0]
     U = ppre.U.astype(jnp.float32)
     Uh, Ulo = _bf16_split(U)
-    if _COUPLING_MODE == "high":
-        # hardware bf16x3 consumes the full-precision operand directly; the
-        # residual array is dead weight kept only for operand-shape parity
-        Uh, Ulo = U, jnp.zeros_like(U)
     ud = _diag_block_table(U)
     # within-block split operand for the single-dot s8 coupling:
     # uw[i] = [Uh[i, blk(i)] | Ulo[i, blk(i)]]

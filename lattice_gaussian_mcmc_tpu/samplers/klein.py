@@ -31,6 +31,7 @@ from typing import Optional
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lattice_gaussian_mcmc_tpu.lattices.base import Lattice
 from lattice_gaussian_mcmc_tpu.ops.discrete_gaussian import (
@@ -82,9 +83,36 @@ def suggest_window(max_cond_sigma: float, tau: float = 6.0) -> int:
     return max(8, ((w + 7) // 8) * 8)
 
 
+def suggest_window_budget(cond_sigmas, budget: float = 0.005,
+                          max_window: int = 1024) -> int:
+    """Smallest multiple-of-8 window whose TOTAL truncated tail mass over
+    the whole conditional-sigma profile stays under `budget`.
+
+    The worst-ROW criterion (`suggest_window`'s tau) pays for the widest
+    conditional on every coordinate; the law-level quantity that the
+    TVD < 0.02 quality gate actually constrains is the SUM of per-
+    coordinate tails, sum_i 2 Phi(-(w/2 - 1/2) / sigma_i) (the windowed
+    support around base = round(c) always covers distance w/2 - 1/2).
+    On the NTRU-512 FALCON-sigma profile this admits window 16 at total
+    tail 2.5e-3 where the tau rule forced 24 (total tail 2.6e-9 — 6
+    orders of magnitude below anything the gates can see), and window 8
+    in the hard regime (total 8.4e-7); the 1D-draw machinery is ~40% of
+    the fused kernel and scales with the window, so this is a direct
+    throughput lever (VERDICT r3 next-step #5)."""
+    sig = np.abs(np.asarray(cond_sigmas, dtype=np.float64))
+    sig = np.maximum(sig, 1e-30)
+    for w in range(8, max_window + 1, 8):
+        d = (w / 2 - 0.5) / (sig * math.sqrt(2.0))
+        total = float(np.sum([math.erfc(x) for x in d]))
+        if total <= budget:
+            return w
+    return max_window
+
+
 def klein_precompute(lattice: Lattice, sigma, center=None,
                      window: Optional[int] = None,
-                     tau: float = 6.0) -> KleinPrecomp:
+                     tau: float = 6.0,
+                     tail_budget: Optional[float] = None) -> KleinPrecomp:
     """Build the Klein precomputation from a lattice pytree.
 
     Validates (host-side, when sigma is concrete) Klein's requirement
@@ -97,6 +125,12 @@ def klein_precompute(lattice: Lattice, sigma, center=None,
     the conservative default; tau=4.4 -> ~1e-5, still far below the
     TVD<0.02 / KL<0.05 quality gates, and worth ~15% fused-kernel
     throughput at dim 1024 — the bench's documented fast policy).
+
+    `tail_budget` (when set, and sigma is concrete) supersedes `tau` with
+    the profile-aware policy of `suggest_window_budget`: the smallest
+    window whose TOTAL tail mass across all coordinates stays under the
+    budget. 0.005 keeps a 4x margin under the TVD < 0.02 gate and picks
+    window 16 (vs tau's 24) on the NTRU-512 FALCON-sigma profile.
     """
     r_diag = jnp.diagonal(lattice.R)
     sigma_arr = jnp.asarray(sigma, dtype=lattice.R.dtype)
@@ -114,7 +148,11 @@ def klein_precompute(lattice: Lattice, sigma, center=None,
                     "singular basis: a Gram-Schmidt norm is zero, so a "
                     "conditional sigma is infinite — Klein sampling is "
                     "undefined on rank-deficient bases")
-            window = suggest_window(max_cond, tau=tau)
+            if tail_budget is not None:
+                window = suggest_window_budget(
+                    np.asarray(sigmas, dtype=np.float64), tail_budget)
+            else:
+                window = suggest_window(max_cond, tau=tau)
             if window > MAX_WINDOW:
                 import warnings
                 warnings.warn(

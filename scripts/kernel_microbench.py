@@ -62,15 +62,21 @@ def main():
     jax.block_until_ready(out)
     print(f"fused compile+run {time.perf_counter()-t0:.1f}s", flush=True)
     X, lw, _ = out
-    t0 = time.perf_counter()
+    float(jnp.sum(lw))  # scalar pull: block_until_ready returns early on
+    # the tunneled device (see bench.py) and silently inflates rates
+    rates = []
     for r in range(reps):
+        t0 = time.perf_counter()
         X, lw, acc = mod.imhk_steps_batch_pallas(
             jax.random.fold_in(key, 2 + r), pre, X, lw, n_steps, tile=tile)
-    jax.block_until_ready(X)
-    dt = time.perf_counter() - t0
-    sps = B * n_steps * reps / dt
-    print(f"RESULT module={modname} cdf={os.environ.get('KLEIN_CDF_MODE','twodot')} "
-          f"n={n} window={window} tile={tile}: {sps/1e6:.3f} M samples/s "
+        float(jnp.sum(lw))
+        rates.append(B * n_steps / (time.perf_counter() - t0))
+    modes = (f"cdf={os.environ.get('KLEIN_CDF_MODE', 'concat')} "
+             f"logits={os.environ.get('KLEIN_LOGITS_MODE', '3pass')} "
+             f"coup={os.environ.get('KLEIN_COUPLING_MODE', 'split')}")
+    print(f"RESULT module={modname} {modes} "
+          f"n={n} window={window} tile={tile}: best {max(rates)/1e6:.3f} "
+          f"reps {[round(x/1e6, 2) for x in rates]} M samples/s "
           f"acc={float(jnp.mean(acc))/n_steps:.4f}", flush=True)
 
 

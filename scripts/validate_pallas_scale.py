@@ -287,10 +287,16 @@ def f32_cond_mean_error(U64, cs64, sig64, window, X, n_check=1024):
 def validate_regime(name, sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps,
                     seed, ks_seeds: int = 1):
     from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
-    # VAL_TAU: validate the same window policy the bench runs (BENCH_TAU);
-    # the f64 oracle phase receives the resulting window explicitly
+    # Validate the same window policy the bench runs: total-tail-budget
+    # (VAL_TAIL_BUDGET, matching BENCH_TAIL_BUDGET; 0 disables) over the
+    # worst-row tau rule (VAL_TAU). The f64 oracle phase receives the
+    # resulting window explicitly, so both laws are the identically-
+    # windowed Klein law; the truncation bias vs the UNWINDOWED target is
+    # bounded analytically by the budget itself (suggest_window_budget).
     tau = float(os.environ.get("VAL_TAU", "4.4"))
-    pre32 = klein_precompute(lat32, sigma, tau=tau)
+    budget = float(os.environ.get("VAL_TAIL_BUDGET", "0.005"))
+    pre32 = klein_precompute(lat32, sigma, tau=tau,
+                             tail_budget=budget if budget > 0 else None)
     window = pre32.window
     # VMEM budget: the fused kernel keeps Uh+Ulo (8 n^2 bytes = 33 MB at
     # dim 2048) plus ~4 (n, tile) f32 buffers resident; at dim 2048 tile
@@ -314,6 +320,7 @@ def validate_regime(name, sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps,
         "sigma": float(sigma),
         "window": int(window),
         "window_tau": tau,
+        "window_tail_budget": budget if budget > 0 else None,
         "n_pallas": n_tpu, "n_f64": n_cpu, "n_steps": n_steps,
         "moments_klein": moment_check(res_tpu["klein_coeffs"],
                                       res_cpu["klein_coeffs"]),

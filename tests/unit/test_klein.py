@@ -185,3 +185,59 @@ class TestAdaptivePrecision:
         X, lw, info = adaptive_klein_sample(key, lat, sigma, 32, rtol=1e-2)
         assert info["path"] == "xla_f64"
         assert X.dtype == jnp.float64
+
+
+class TestWindowBudget:
+    """Total-tail-budget window policy (suggest_window_budget): the
+    throughput lever behind the r4 bench window (16 vs tau's 24 on the
+    NTRU-512 FALCON profile); validated end-to-end on hardware by
+    scripts/validate_pallas_scale.py at the same policy."""
+
+    def test_budget_bound_holds(self):
+        from math import erfc, sqrt
+        from lattice_gaussian_mcmc_tpu.samplers.klein import (
+            suggest_window_budget,
+        )
+        rng = np.random.default_rng(3)
+        for _ in range(5):
+            sig = rng.uniform(0.3, 2.5, size=256)
+            budget = 10 ** rng.uniform(-4, -2)
+            w = suggest_window_budget(sig, budget)
+            d = (w / 2 - 0.5) / (sig * sqrt(2.0))
+            assert sum(erfc(x) for x in d) <= budget
+            assert w % 8 == 0
+            if w > 8:  # minimality: the next-narrower window must violate
+                d2 = (w / 2 - 4 - 0.5) / (sig * sqrt(2.0))
+                assert sum(erfc(x) for x in d2) > budget
+
+    def test_monotone_in_budget_and_sigma(self):
+        from lattice_gaussian_mcmc_tpu.samplers.klein import (
+            suggest_window_budget,
+        )
+        sig = np.linspace(0.5, 1.8, 128)
+        assert (suggest_window_budget(sig, 1e-6)
+                >= suggest_window_budget(sig, 1e-2))
+        assert (suggest_window_budget(2 * sig, 1e-3)
+                >= suggest_window_budget(sig, 1e-3))
+
+    def test_precompute_tail_budget_narrows_window(self):
+        from lattice_gaussian_mcmc_tpu.lattices import lattice_from_basis
+        from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+        rng = np.random.default_rng(5)
+        n = 32
+        B = np.triu(rng.uniform(-0.5, 0.5, (n, n))) + np.eye(n)
+        lat = lattice_from_basis(B, dtype=jnp.float64)
+        sigma = 1.5 * float(np.max(np.asarray(lat.gs_norms)))
+        pre_tau = klein_precompute(lat, sigma, tau=6.0)
+        pre_b = klein_precompute(lat, sigma, tail_budget=5e-3)
+        assert pre_b.window <= pre_tau.window
+        # the budget window still samples a law close to the tau law
+        key = jax.random.key(0)
+        from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import (
+            klein_sample_batch_blocked,
+        )
+        Xa, _ = klein_sample_batch_blocked(key, pre_tau, 2048, 32)
+        Xb, _ = klein_sample_batch_blocked(key, pre_b, 2048, 32)
+        ma, mb = np.mean(np.asarray(Xa), 0), np.mean(np.asarray(Xb), 0)
+        sa = np.std(np.asarray(Xa), 0) / np.sqrt(2048)
+        assert np.all(np.abs(ma - mb) < 6 * sa + 1e-9)
