@@ -97,7 +97,10 @@ def main():
     lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
                        dtype=jnp.float32)
     sigma = falcon_parameters(512)["sigma"]
-    pre = klein_precompute(lat, sigma)
+    # same window policy as the bench (PROF_TAIL_BUDGET=0 -> tau rule)
+    budget = float(os.environ.get("PROF_TAIL_BUDGET", "0.005"))
+    pre = klein_precompute(lat, sigma, tau=4.4,
+                           tail_budget=budget if budget > 0 else None)
     n, window = 2 * n_ring, pre.window
     print(f"n={n} window={window} B={B} tile={tile} n_steps={n_steps}")
 
@@ -113,7 +116,9 @@ def main():
             results = json.loads(out_path.read_text())
         except json.JSONDecodeError:
             results = {}
-    if results.get("B") != B or results.get("n_steps") != n_steps:
+    if (results.get("B") != B or results.get("n_steps") != n_steps
+            or results.get("window") != window
+            or results.get("tile") != tile):
         results = {}
     results.update({"n": n, "window": window, "B": B, "tile": tile,
                     "n_steps": n_steps,
