@@ -111,7 +111,9 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
         sigma = 1.5 * float(jnp.max(lat.gs_norms))
     peikert_batch = None
     if algorithm != "direct":
-        pre = klein_precompute(lat, sigma)
+        # bench window policy: total-tail-budget (see suggest_window_budget
+        # and bench.py) — same validated law as the flagship bench rows
+        pre = klein_precompute(lat, sigma, tail_budget=5e-3)
         # speed-of-light Pallas path on TPU; blocked XLA elsewhere. A batch
         # no tile divides falls back to the blocked XLA path rather than
         # crashing on max() of an empty sequence.
@@ -204,6 +206,16 @@ def run_benchmarks(cfg: Optional[BenchmarkConfig] = None) -> Dict:
     payload["all_passed"] = bool(
         results and all(np.isfinite(r["samples_per_sec"]) and
                         r["samples_per_sec"] > 0 for r in results))
-    with open(os.path.join(out_dir, "benchmark_results.json"), "w") as f:
+    out_path = os.path.join(out_dir, "benchmark_results.json")
+    # merge-preserve keys other drivers fold into this file (e.g. the
+    # falcon1024 flagship row) — the suite owns only its own keys
+    try:
+        with open(out_path) as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            payload.setdefault(k, v)
+    except (OSError, json.JSONDecodeError):
+        pass
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=2, default=float)
     return payload

@@ -71,9 +71,9 @@ def main():
             jax.random.fold_in(key, 2 + r), pre, X, lw, n_steps, tile=tile)
         float(jnp.sum(lw))
         rates.append(B * n_steps / (time.perf_counter() - t0))
-    modes = (f"cdf={os.environ.get('KLEIN_CDF_MODE', 'concat')} "
-             f"logits={os.environ.get('KLEIN_LOGITS_MODE', '3pass')} "
-             f"coup={os.environ.get('KLEIN_COUPLING_MODE', 'split')}")
+    from lattice_gaussian_mcmc_tpu.ops.kernels import klein_pallas as _kp
+    modes = (f"cdf={getattr(_kp, '_CDF_MODE', '?')} "
+             f"logits={getattr(_kp, '_LOGITS_MODE', '?')}")
     print(f"RESULT module={modname} {modes} "
           f"n={n} window={window} tile={tile}: best {max(rates)/1e6:.3f} "
           f"reps {[round(x/1e6, 2) for x in rates]} M samples/s "
