@@ -129,6 +129,11 @@ def run_adaptation(cfg: Optional[AdaptationConfig] = None) -> Dict:
         "acceptance_at_2x_width": acc_2x,
         "acceptance_at_half_width": acc_half,
         "samples_per_sec_last_window": final["samples_per_sec"],
+        "rates_are_driver_harness_not_kernel": True,
+        "rate_note": ("per-window rates include one dispatch + compile-"
+                      "cache lookups per 8-step window; the fused SMK "
+                      "kernel's steady-state rate is the bench.py smk row "
+                      "(4.5M steps/s at dim 1024)"),
         "gates": gates,
         "all_passed": bool(all(gates.values())),
     }
