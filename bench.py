@@ -36,7 +36,9 @@ def main():
 
     n_ring = int(os.environ.get("BENCH_N", "512"))
     n_chains = int(os.environ.get("BENCH_CHAINS", "524288"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "32"))
+    # 64 MCMC steps per timed rep = one fused dispatch (steps_per_dispatch
+    # is 64): halves the dispatch/boundary share vs 32 (+1.2% measured)
+    n_steps = int(os.environ.get("BENCH_STEPS", "64"))
     block = int(os.environ.get("BENCH_BLOCK", "32"))
     tile = int(os.environ.get("BENCH_TILE", "4096"))
     impl = os.environ.get("BENCH_IMPL",
