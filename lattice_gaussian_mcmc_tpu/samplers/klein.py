@@ -83,7 +83,7 @@ def suggest_window(max_cond_sigma: float, tau: float = 6.0) -> int:
     return max(8, ((w + 7) // 8) * 8)
 
 
-def suggest_window_budget(cond_sigmas, budget: float = 0.005,
+def suggest_window_budget(cond_sigmas, budget: float = 0.01,
                           max_window: int = 1024) -> int:
     """Smallest multiple-of-8 window whose TOTAL truncated tail mass over
     the whole conditional-sigma profile stays under `budget`.
@@ -91,20 +91,37 @@ def suggest_window_budget(cond_sigmas, budget: float = 0.005,
     The worst-ROW criterion (`suggest_window`'s tau) pays for the widest
     conditional on every coordinate; the law-level quantity that the
     TVD < 0.02 quality gate actually constrains is the SUM of per-
-    coordinate tails, sum_i 2 Phi(-(w/2 - 1/2) / sigma_i) (the windowed
-    support around base = round(c) always covers distance w/2 - 1/2).
-    On the NTRU-512 FALCON-sigma profile this admits window 16 at total
-    tail 2.5e-3 where the tau rule forced 24 (total tail 2.6e-9 — 6
-    orders of magnitude below anything the gates can see), and window 8
-    in the hard regime (total 8.4e-7); the 1D-draw machinery is ~40% of
-    the fused kernel and scales with the window, so this is a direct
-    throughput lever (VERDICT r3 next-step #5)."""
+    coordinate tails around base = round(c), whose nearest omitted support
+    point sits at distance d0 = w/2 - 1/2 in the worst center offset
+    (delta = -1/2 — the window is asymmetric). The per-coordinate bound
+    used here is DISCRETE-aware (ADVICE r4): each one-sided discrete tail
+    sum_{k >= d0} rho_sigma(k) is bounded by rho(d0) + integral_{d0}^inf
+    rho (monotone integrand), so
+
+        tail_i <= erfc(d0 / (sigma_i sqrt 2))
+                  + 2 exp(-d0^2 / 2 sigma_i^2) / (sigma_i sqrt(2 pi)),
+
+    normalized by the continuous mass sigma sqrt(2 pi) — approximate (not
+    a certified bound) below sigma ~ 0.5, where the discrete normalizer
+    deviates; at the sigmas this policy ever selects against it is sharp
+    to a few percent. The pure-continuous erfc alone undercounts by
+    1.3-3.8x at boundary offsets, which is why the point-mass term is
+    included. On the NTRU-512 FALCON-sigma profile this admits window 16
+    at total bound 9.8e-3 (continuous part 2.5e-3) where the tau rule
+    forced 24 (total 1.3e-8), and window 8 in the hard regime (9.5e-6);
+    the 1D-draw machinery is ~40% of the fused kernel and scales with the
+    window, so this is a direct throughput lever (VERDICT r3 next-step
+    #5). The default budget 0.01 keeps a 2x margin under the TVD < 0.02
+    gate; the window-16 law is also validated empirically against the f64
+    oracle (scripts/validate_pallas_scale.py)."""
     sig = np.abs(np.asarray(cond_sigmas, dtype=np.float64))
     sig = np.maximum(sig, 1e-30)
     for w in range(8, max_window + 1, 8):
-        d = (w / 2 - 0.5) / (sig * math.sqrt(2.0))
-        total = float(np.sum([math.erfc(x) for x in d]))
-        if total <= budget:
+        d0 = w / 2 - 0.5
+        cont = np.array([math.erfc(x) for x in d0 / (sig * math.sqrt(2.0))])
+        point = 2.0 * np.exp(-0.5 * (d0 / sig) ** 2) / (
+            sig * math.sqrt(2.0 * math.pi))
+        if float(np.sum(cont + point)) <= budget:
             return w
     return max_window
 
@@ -129,8 +146,9 @@ def klein_precompute(lattice: Lattice, sigma, center=None,
     `tail_budget` (when set, and sigma is concrete) supersedes `tau` with
     the profile-aware policy of `suggest_window_budget`: the smallest
     window whose TOTAL tail mass across all coordinates stays under the
-    budget. 0.005 keeps a 4x margin under the TVD < 0.02 gate and picks
-    window 16 (vs tau's 24) on the NTRU-512 FALCON-sigma profile.
+    budget. 0.01 keeps a 2x margin under the TVD < 0.02 gate (the bound is
+    discrete-aware, see suggest_window_budget) and picks window 16 (vs
+    tau's 24) on the NTRU-512 FALCON-sigma profile.
     """
     r_diag = jnp.diagonal(lattice.R)
     sigma_arr = jnp.asarray(sigma, dtype=lattice.R.dtype)

@@ -98,7 +98,7 @@ def main():
                        dtype=jnp.float32)
     sigma = falcon_parameters(512)["sigma"]
     # same window policy as the bench (PROF_TAIL_BUDGET=0 -> tau rule)
-    budget = float(os.environ.get("PROF_TAIL_BUDGET", "0.005"))
+    budget = float(os.environ.get("PROF_TAIL_BUDGET", "0.01"))
     pre = klein_precompute(lat, sigma, tau=4.4,
                            tail_budget=budget if budget > 0 else None)
     n, window = 2 * n_ring, pre.window

@@ -294,7 +294,7 @@ def validate_regime(name, sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps,
     # windowed Klein law; the truncation bias vs the UNWINDOWED target is
     # bounded analytically by the budget itself (suggest_window_budget).
     tau = float(os.environ.get("VAL_TAU", "4.4"))
-    budget = float(os.environ.get("VAL_TAIL_BUDGET", "0.005"))
+    budget = float(os.environ.get("VAL_TAIL_BUDGET", "0.01"))
     pre32 = klein_precompute(lat32, sigma, tau=tau,
                              tail_budget=budget if budget > 0 else None)
     window = pre32.window
@@ -476,10 +476,15 @@ def main():
             "lattice": f"ntru-{n_ring} (dim {2 * n_ring})",
             "max_gs_norm": max_gs,
             "device": str(jax.devices()[0]).replace(" ", "_"),
-            "smooth": prev["smooth"] if only_smk else validate_regime(
+            # when VAL_ONLY=smk splices committed results forward, each
+            # reused phase is stamped so the artifact is self-describing
+            # about mixing results from different runs (ADVICE r4)
+            "smooth": {**prev["smooth"], "reused_from_prev_run": True}
+            if only_smk else validate_regime(
                 "smooth", sigma_smooth, lat32, tmp,
                 n_ring, n_tpu, n_cpu, n_steps, seed=7),
-            "hard": prev["hard"] if only_smk else validate_regime(
+            "hard": {**prev["hard"], "reused_from_prev_run": True}
+            if only_smk else validate_regime(
                 "hard", sigma_hard, lat32, tmp,
                 n_ring, n_tpu, n_cpu, n_steps, seed=8,
                 ks_seeds=int(os.environ.get("VAL_KS_SEEDS", "3"))),

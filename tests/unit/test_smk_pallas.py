@@ -173,3 +173,31 @@ def test_smk_converges_from_far_start(key, rng):
                                      interpret=True, host_rng=True)
     # MC noise floor for B=12800 over ~80 support points is ~0.03
     assert tvd_dicts(empirical_dist(Xs), target) < 0.06
+
+
+def test_smk_pallas_call_has_no_input_output_aliases():
+    """Structural pin of the r4 DMA-race fix (smk_pallas.py ~line 252): the
+    SMK chain state must flow through a REGULAR input window into scratch,
+    never through input_output_aliases — an aliased window read as the
+    kernel's first operation races its own input DMA on multi-program
+    grids, a hardware-only failure interpret mode CANNOT catch. This test
+    fails any refactor that reintroduces aliasing; the behavioral gate is
+    the hardware validate_smk path (scripts/validate_pallas_scale.py)."""
+    import ast
+    import inspect
+
+    from lattice_gaussian_mcmc_tpu.ops.kernels import smk_pallas
+
+    tree = ast.parse(inspect.getsource(smk_pallas))
+    calls = [node for node in ast.walk(tree)
+             if isinstance(node, ast.Call)
+             and isinstance(node.func, ast.Attribute)
+             and node.func.attr == "pallas_call"]
+    assert calls, "expected at least one pl.pallas_call in smk_pallas"
+    for call in calls:
+        kw_names = {kw.arg for kw in call.keywords}
+        assert "input_output_aliases" not in kw_names, (
+            "SMK pallas_call reintroduced input_output_aliases — this "
+            "races the state window's input DMA on multi-program grids "
+            "(hardware only); keep the state in scratch loaded from a "
+            "regular input window")
