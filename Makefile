@@ -2,7 +2,8 @@
 
 PY ?= python
 
-.PHONY: test test-fast test-integration bench experiments examples lint clean
+.PHONY: test test-fast test-integration bench experiments examples lint \
+	clean paper notebook
 
 test:            ## full suite (CPU, 8 virtual devices)
 	$(PY) -m pytest tests/ -q
@@ -28,6 +29,18 @@ reduce-lib:      ## build the native reduction library explicitly
 	g++ -O3 -march=native -shared -fPIC \
 	    -o lattice_gaussian_mcmc_tpu/reduction/cpp/liblattice_reduce.so \
 	    lattice_gaussian_mcmc_tpu/reduction/cpp/lattice_reduce.cpp
+
+paper:           ## build paper/main.pdf (pdflatex if present, else preview)
+	@if command -v pdflatex >/dev/null 2>&1; then \
+	    cd paper && pdflatex -interaction=nonstopmode main.tex && \
+	    pdflatex -interaction=nonstopmode main.tex; \
+	else \
+	    $(PY) paper/build_preview.py; \
+	fi
+
+notebook:        ## execute the quickstart notebook top-to-bottom (CPU)
+	$(PY) -m jupyter nbconvert --to notebook --execute --inplace \
+	    notebooks/quickstart.ipynb
 
 clean:
 	rm -rf .pytest_cache results
