@@ -34,10 +34,12 @@ def main() -> int:
         chains_per_device=chains_per_device, n_samples=n_samples,
         device_counts=counts, seed=seed)
     # production-path rows (fused Pallas kernel under shard_map; interpret
-    # mode on the CPU mesh): fewer/smaller sizes, the point is path proof
+    # mode on the CPU mesh): smaller sizes, the point is path proof — the
+    # full 1/2/4/8 curve makes the weak-scaling shape inspectable rather
+    # than two endpoints (VERDICT r4 next-step #7)
     pallas_rows = measure_scaling_pallas(
         chains_per_device=256, n_steps=4,
-        device_counts=[d for d in (1, 8) if d <= n_devices], seed=seed)
+        device_counts=[d for d in (1, 2, 4, 8) if d <= n_devices], seed=seed)
     print(json.dumps({"rows": rows, "pallas_rows": pallas_rows},
                      default=float))
     return 0
