@@ -53,27 +53,35 @@ def peikert_precompute(lattice: Lattice, sigma, center=None,
                        window: int = DEFAULT_WINDOW) -> PeikertPrecomp:
     """Host/device precompute: Cholesky of Sigma2 and the coefficient-space
     center. Raises (via NaN check on host use) if sigma < r * s1(B)."""
+    import numpy as np
+
     n = lattice.n
     dtype = lattice.basis.dtype
-    sigma = jnp.asarray(sigma, dtype=dtype)
     if r is None:
         r = smoothing_parameter_zn(n, eps)
-    r = jnp.asarray(r, dtype=dtype)
-    G = lattice.basis.T @ lattice.basis
-    Ginv = jnp.linalg.inv(G)
+    # one-time precompute in HOST f64 (like klein_precompute's host GSO):
+    # cryptographic bases have Gram condition numbers ~ q^2, far beyond
+    # f32 inversion — and the TPU backend has no f64 linalg at all
+    Bh = np.asarray(lattice.basis, dtype=np.float64)
+    rh = float(r)
+    sh = float(np.asarray(sigma, dtype=np.float64))
+    Ginv = np.linalg.inv(Bh.T @ Bh)
     # total coefficient-space covariance must be sigma^2 (B^T B)^{-1}; the
     # randomized rounding contributes ~ r^2 I, so the continuous perturbation
-    # carries the remainder:
-    Sigma2 = sigma**2 * Ginv - r**2 * jnp.eye(n, dtype=dtype)
+    # carries the remainder (PSD iff sigma >= r * s1(B)):
+    Sigma2 = sh ** 2 * Ginv - rh ** 2 * np.eye(n)
     # jitter for the PSD boundary
-    L2 = jnp.linalg.cholesky(Sigma2 + 1e-10 * jnp.eye(n, dtype=dtype))
+    L2h = np.linalg.cholesky(Sigma2 + 1e-10 * np.eye(n))
     if center is None:
-        cprime = jnp.zeros((n,), dtype=dtype)
+        cprime_h = np.zeros((n,))
     else:
-        cprime = jnp.linalg.solve(lattice.basis,
-                                  jnp.asarray(center, dtype=dtype))
-    return PeikertPrecomp(basis=lattice.basis, L2=L2, cprime=cprime, r=r,
-                          sigma=sigma, window=window)
+        cprime_h = np.linalg.solve(Bh, np.asarray(center, dtype=np.float64))
+    return PeikertPrecomp(basis=lattice.basis,
+                          L2=jnp.asarray(L2h, dtype=dtype),
+                          cprime=jnp.asarray(cprime_h, dtype=dtype),
+                          r=jnp.asarray(rh, dtype=dtype),
+                          sigma=jnp.asarray(sh, dtype=dtype),
+                          window=window)
 
 
 def peikert_sample(key: jax.Array, pre: PeikertPrecomp):

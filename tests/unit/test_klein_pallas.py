@@ -151,3 +151,38 @@ def test_babai_pallas_matches_xla(key, rng):
     Xx = jax.vmap(lambda t: babai_nearest_plane(lat.Q, lat.R, t))(
         targets.astype(lat.Q.dtype))
     np.testing.assert_allclose(np.asarray(Xp), np.asarray(Xx), atol=1e-5)
+
+
+def test_ring_mode_round0_matches_single_draw(key):
+    """klein_sample_ring_pallas round 0 consumes the identical host-uniform
+    rows [0, n) that klein_sample_batch_pallas's single draw does, so the
+    draws must agree EXACTLY; later rounds use fresh rows and must differ."""
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        klein_sample_ring_pallas,
+    )
+    basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    lat = lattice_from_basis(basis, dtype=jnp.float32)
+    pre = klein_precompute(lat, 2.0)
+    B = 256
+    with pltpu.force_tpu_interpret_mode():
+        X1, lw1 = klein_sample_batch_pallas(key, pre, B, host_rng=True,
+                                            tile=128)
+        XR, lwR = klein_sample_ring_pallas(key, pre, B, n_rounds=3,
+                                           host_rng=True, tile=128)
+    assert XR.shape == (3, B, 2) and lwR.shape == (3, B)
+    np.testing.assert_array_equal(np.asarray(XR[0]), np.asarray(X1))
+    np.testing.assert_allclose(np.asarray(lwR[0]), np.asarray(lw1),
+                               rtol=1e-6)
+    assert not np.array_equal(np.asarray(XR[1]), np.asarray(XR[0]))
+    # every round is a valid Klein draw: per-round first/second moments
+    # (a pooled TVD at this B sits on its MC noise floor — moments have
+    # far more power per sample here)
+    # coeff covariance of D_{Lambda,sigma} ~ sigma^2 (B^T B)^{-1}
+    target_std = 2.0 * np.sqrt(np.diag(
+        np.linalg.inv(basis.T @ basis)))
+    for i in range(3):
+        Xi = np.asarray(XR[i], dtype=np.float64)
+        se = target_std / np.sqrt(B)
+        assert np.all(np.abs(Xi.mean(0)) < 5 * se), (i, Xi.mean(0))
+        assert np.all(np.abs(Xi.std(0) / target_std - 1.0) < 0.12), \
+            (i, Xi.std(0), target_std)
