@@ -41,9 +41,14 @@ class AdaptationConfig(ExperimentConfig):
     ntru_q: int = 12289
     sigma_factor: float = 1.0        # target sigma = factor * max||b*_i||
     target_acceptance: float = 0.45
-    n_chains: int = 4096
+    n_chains: int = 32768
     n_windows: int = 16
     window_steps: int = 8
+    # diminishing adaptation: after `warmup_windows` the per-window step
+    # count doubles up to `max_window_steps` (see adapt_sigma_smk)
+    grow_windows: bool = True
+    warmup_windows: int = 4
+    max_window_steps: int = 128
     output_dir: str = "results/adaptation"
     cache_dir: str = "bench_cache"
 
@@ -93,7 +98,10 @@ def run_adaptation(cfg: Optional[AdaptationConfig] = None) -> Dict:
         key, lat, sigma, target_acceptance=cfg.target_acceptance,
         n_windows=cfg.n_windows, window_steps=cfg.window_steps,
         n_chains=cfg.n_chains,
-        backend="pallas" if use_pallas else "xla")
+        backend="pallas" if use_pallas else "xla",
+        grow_windows=cfg.grow_windows,
+        warmup_windows=cfg.warmup_windows,
+        max_window_steps=cfg.max_window_steps)
 
     final = st.history[-1]
     sigma_star = final["sigma_prop"]
@@ -129,11 +137,17 @@ def run_adaptation(cfg: Optional[AdaptationConfig] = None) -> Dict:
         "acceptance_at_2x_width": acc_2x,
         "acceptance_at_half_width": acc_half,
         "samples_per_sec_last_window": final["samples_per_sec"],
-        "rates_are_driver_harness_not_kernel": True,
-        "rate_note": ("per-window rates include one dispatch + compile-"
-                      "cache lookups per 8-step window; the fused SMK "
-                      "kernel's steady-state rate is the bench.py smk row "
-                      "(4.5M steps/s at dim 1024)"),
+        "samples_per_sec_aggregate": cfg.n_chains * sum(
+            h["window_steps"] for h in st.history) / max(
+            sum(h["window_s"] for h in st.history), 1e-9),
+        "window_schedule": [h["window_steps"] for h in st.history],
+        "rate_note": ("per-window rates include one host sync + dispatch "
+                      "per window; growing windows (diminishing "
+                      "adaptation) amortize that to kernel-dominated "
+                      "aggregate rates. First window at each new step "
+                      "count pays a compile unless the jit cache is warm; "
+                      "the fused SMK kernel's steady-state rate is the "
+                      "bench.py smk row"),
         "gates": gates,
         "all_passed": bool(all(gates.values())),
     }

@@ -18,6 +18,11 @@ import json
 import os
 import sys
 import time
+
+# persistent jit cache: repeated experiment runs (and the growing-window
+# adaptation schedule's distinct step counts) hit the cache instead of
+# recompiling (same policy as bench.py)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 from typing import Dict, List
 
 import numpy as np

@@ -64,7 +64,8 @@ except Exception:  # pragma: no cover
 def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
                 wqt_ref, unif_ref, xold_ref, accold_ref,
                 x_ref, acc_ref, *rest,
-                n, window, tile, n_steps, host_rng=False, debug=False):
+                n, window, tile, n_steps, host_rng=False, debug=False,
+                ablate=frozenset()):
     """n_steps fused SMK steps; chain state x resident in VMEM, the current
     centers ct = U @ x~ recomputed ONCE at kernel start into scratch (U is
     unit upper triangular, so one full-row block dot gives (U x~)_i
@@ -101,6 +102,8 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
     nb = n // BLOCK
 
     def uniform_block(shape):
+        if "no_prng" in ablate:
+            return jnp.full(shape, 0.5, jnp.float32)
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
         mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
         fbits = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
@@ -110,18 +113,28 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
         """Inverse-CDF draw (see klein_pallas.sample_row): returns
         (z, m, total) with logZ = m + log(total)."""
         base = jnp.round(c)
+        if "no_sample" in ablate:
+            one = base * 0.0 + 1.0
+            return base, base * 1e-8, one
         delta = base - c
         a = isg_row * isg_row
         lm = -a * (offs_half + delta * offs)
         m = (-0.5) * a * (delta * delta)
-        w = jnp.exp(lm)
-        w_hi, w_lo = _bf16_split_bits(w)
-        wcat = jnp.concatenate([w_hi, w_lo], axis=0)
-        cdf = jnp.dot(tril2, wcat, preferred_element_type=jnp.float32)
-        total = cdf[window - 1:window, :]
-        target = u01 * total
-        idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
-                      keepdims=True)
+        if "no_exp" in ablate:
+            w = 1.0 + lm
+        else:
+            w = jnp.exp(lm)
+        if "no_cdf_matmul" in ablate:
+            total = jnp.sum(w, axis=0, keepdims=True)
+            idx = jnp.round(u01 * float(window - 1))
+        else:
+            w_hi, w_lo = _bf16_split_bits(w)
+            wcat = jnp.concatenate([w_hi, w_lo], axis=0)
+            cdf = jnp.dot(tril2, wcat, preferred_element_type=jnp.float32)
+            total = cdf[window - 1:window, :]
+            target = u01 * total
+            idx = jnp.sum((cdf < target).astype(jnp.float32), axis=0,
+                          keepdims=True)
         idx = jnp.clip(idx, 0.0, float(window - 1))
         return base + idx - window // 2, m, total
 
@@ -132,7 +145,10 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
         a = isg_row * isg_row
         lm = -a * (offs_half + delta * offs)
         m = (-0.5) * a * (delta * delta)
-        total = jnp.sum(jnp.exp(lm), axis=0, keepdims=True)
+        if "no_exp" in ablate:
+            total = jnp.sum(1.0 + lm, axis=0, keepdims=True)
+        else:
+            total = jnp.sum(jnp.exp(lm), axis=0, keepdims=True)
         return m, total
 
     def propose_smk(ubase):
@@ -182,7 +198,10 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
                     z, m, total = sample_row(c, isgp_d, un8[d:d + 1, :])
                     z_ref[d:d + 1, :] = z
                     # free byproduct: (U y~new)_i = y~new_i + coupling_i
-                    cn8_ref[d:d + 1, :] = z + coup
+                    if "no_ctn" in ablate:
+                        cn8_ref[d:d + 1, :] = z
+                    else:
+                        cn8_ref[d:d + 1, :] = z + coup
                     msum = m if msum is None else msum + m
                     tprod = total if tprod is None else tprod * total
                 logZ8 = msum + jnp.log(tprod)
@@ -229,8 +248,12 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
                 m, total = logz_row(cp, isgp_d)
                 msum = m if msum is None else msum + m
                 tprod = total if tprod is None else tprod * total
-                tn = wq_d * (ctn8[d:d + 1, :] - cse_d)
-                tc = wq_d * (ctc8[d:d + 1, :] - cse_d)
+                if "no_quad" in ablate:
+                    tn = m  # keep shapes; timing-only ablation
+                    tc = m
+                else:
+                    tn = wq_d * (ctn8[d:d + 1, :] - cse_d)
+                    tc = wq_d * (ctc8[d:d + 1, :] - cse_d)
                 qn8 = tn * tn if qn8 is None else qn8 + tn * tn
                 qc8 = tc * tc if qc8 is None else qc8 + tc * tc
 
@@ -275,7 +298,11 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
     def step_body(s, acc_st):
         ubase = pl.multiple_of(s * (n + GROUP), GROUP)
         lw_fwd = propose_smk(ubase)
-        lw_rev, qn, qc = reverse_and_quad()
+        if "no_reverse" in ablate:
+            zero = jnp.zeros((1, tile), jnp.float32)
+            lw_rev, qn, qc = zero, zero, zero
+        else:
+            lw_rev, qn, qc = reverse_and_quad()
         # log alpha = [log pi(y) - log pi(x)] + [log q(x|y) - log q(y|x)]
         #           = (qc - qn) + (lw_fwd - lw_rev)
         log_alpha = (qc - qn) + (lw_fwd - lw_rev)
@@ -304,11 +331,11 @@ def _smk_kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cse_ref, isgp_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile", "n_steps", "window",
                                              "interpret", "debug",
-                                             "host_rng"))
+                                             "host_rng", "ablate"))
 def _smk_steps_jit(key, pre: KleinPrecomp, coeffs, acc, sigmas_prop,
                    n_steps: int, tile: int, window: int,
                    interpret: bool = False, debug: bool = False,
-                   host_rng: bool = False):
+                   host_rng: bool = False, ablate: frozenset = frozenset()):
     from lattice_gaussian_mcmc_tpu.samplers.klein_blocked import _pad_precomp
     B = coeffs.shape[0]
     assert B % tile == 0, f"batch must be a multiple of {tile}"
@@ -338,7 +365,7 @@ def _smk_steps_jit(key, pre: KleinPrecomp, coeffs, acc, sigmas_prop,
 
     kernel = functools.partial(_smk_kernel, n=n, window=window, tile=tile,
                                n_steps=n_steps, host_rng=host_rng,
-                               debug=debug)
+                               debug=debug, ablate=ablate)
     out_specs = [
         pl.BlockSpec((n, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -412,7 +439,8 @@ def _smk_steps_jit(key, pre: KleinPrecomp, coeffs, acc, sigmas_prop,
 def smk_steps_batch_pallas(key, pre: KleinPrecomp, coeffs, n_steps: int,
                            sigma_prop=None, tile: int = 0,
                            interpret: bool = False, host_rng: bool = False,
-                           debug: bool = False):
+                           debug: bool = False,
+                           ablate: frozenset = frozenset()):
     """Run n_steps fused SMK steps on (B, n) integer coefficient state.
 
     `pre` is the TARGET precomputation (sigma = target width, cs = target
@@ -450,4 +478,4 @@ def smk_steps_batch_pallas(key, pre: KleinPrecomp, coeffs, n_steps: int,
     window = min(window, 1024)
     acc = jnp.zeros((coeffs.shape[0],), jnp.float32)
     return _smk_steps_jit(key, pre, coeffs, acc, sigmas_prop, n_steps,
-                          tile, window, interpret, debug, host_rng)
+                          tile, window, interpret, debug, host_rng, ablate)

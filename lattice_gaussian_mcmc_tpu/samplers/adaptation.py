@@ -119,7 +119,9 @@ def adapt_sigma_smk(key, lattice: Lattice, sigma: float,
                     target_acceptance: float = 0.45,
                     n_windows: int = 16, window_steps: int = 8,
                     n_chains: int = 4096, backend: str = "auto",
-                    tile: int = 0) -> AdaptationState:
+                    tile: int = 0, grow_windows: bool = True,
+                    warmup_windows: int = 4,
+                    max_window_steps: int = 128) -> AdaptationState:
     """BASELINE config 4 adaptation: Robbins-Monro on the symmetric
     Metropolis-Klein PROPOSAL width, targeting pooled acceptance.
 
@@ -134,7 +136,18 @@ def adapt_sigma_smk(key, lattice: Lattice, sigma: float,
     backend "pallas" runs windows through the fused SMK kernel
     (ops/kernels/smk_pallas.py) — TPU only; "auto" picks it when available.
     Returns the AdaptationState; .history rows carry
-    (window, sigma_prop, acceptance, samples_per_sec).
+    (window, sigma_prop, acceptance, window_steps, samples_per_sec).
+
+    `grow_windows` (default on): after `warmup_windows` windows the
+    per-window step count DOUBLES each window up to `max_window_steps` —
+    the standard diminishing-adaptation construction (the Robbins-Monro
+    gain gamma_t ~ t^-0.6 decays anyway, so late windows need precision,
+    not frequency). This moves the host-sync + re-jit cost from every 8
+    steps to every 128, taking the AGGREGATE adaptation rate from the
+    ~0.4M samples/s harness floor to kernel-dominated rates (VERDICT r4
+    next-step #5) without changing the adapted fixed point: chain state
+    still persists across windows and the update still targets pooled
+    window acceptance.
     """
     import time as _time
 
@@ -162,24 +175,30 @@ def adapt_sigma_smk(key, lattice: Lattice, sigma: float,
     st = AdaptationState(log_sigma=math.log(sigma_prop0))
     for w in range(n_windows):
         sp = st.sigma
+        steps_w = window_steps
+        if grow_windows:
+            steps_w = min(window_steps << max(0, w - warmup_windows),
+                          max_window_steps)
         k_w = jax.random.fold_in(key, w)
         t0 = _time.perf_counter()
         if use_pallas:
-            X, acc = smk_steps_batch_pallas(k_w, pre_t, X, window_steps,
+            X, acc = smk_steps_batch_pallas(k_w, pre_t, X, steps_w,
                                             sigma_prop=sp, tile=tile)
-            acc_rate = float(jnp.mean(acc)) / window_steps
+            # scalar pull forces completion (the tunneled device's
+            # block_until_ready can return early — bench.py's note)
+            acc_rate = float(jnp.sum(acc)) / (n_chains * steps_w)
         else:
             pre_h = pre_t.replace(
                 sigmas=jnp.asarray(sp, pre_t.U.dtype) /
                 jnp.diagonal(lattice.R))
             X, acc = _smk_window_xla(k_w, pre_h, lattice.Q, lattice.R, X,
-                                     window_steps)
+                                     steps_w)
             acc_rate = float(acc)
-        jax.block_until_ready(X)
         dt = _time.perf_counter() - t0
         st.history.append({
             "window": w, "sigma_prop": sp, "acceptance": acc_rate,
-            "samples_per_sec": n_chains * window_steps / max(dt, 1e-9),
+            "window_steps": steps_w, "window_s": dt,
+            "samples_per_sec": n_chains * steps_w / max(dt, 1e-9),
         })
         gamma = 0.5 / (1.0 + st.step) ** 0.6
         st = AdaptationState(

@@ -69,16 +69,119 @@ def bench_variant(pre, B, tile, n_steps, ablate, key, reps=3):
     coeffs, log_ws = klein_sample_batch_pallas(key, pre, B, tile=tile)
     out = imhk_steps_batch_pallas(jax.random.fold_in(key, 1), pre, coeffs,
                                   log_ws, n_steps, tile=tile, ablate=ablate)
-    jax.block_until_ready(out)
+    float(jnp.sum(out[1]))  # scalar pull (block_until_ready can under-wait)
     coeffs, log_ws, _ = out
     t0 = time.perf_counter()
     for r in range(reps):
         coeffs, log_ws, acc = imhk_steps_batch_pallas(
             jax.random.fold_in(key, 2 + r), pre, coeffs, log_ws, n_steps,
             tile=tile, ablate=ablate)
-    jax.block_until_ready(coeffs)
+        float(jnp.sum(log_ws))
     dt = time.perf_counter() - t0
     return B * n_steps * reps / dt
+
+
+SMK_PHASES = {
+    # whole reverse pass (reverse log-normalizers + target quadratics)
+    "reverse_pass_all": "no_reverse",
+    # just the target-quadratic accumulation inside the reverse pass
+    "reverse_quad": "no_quad",
+    # the (U y~new) byproduct bookkeeping in the forward sweep
+    "ctn_byproduct": "no_ctn",
+    "cdf_matmul_all": "no_cdf_matmul",
+    "exp": "no_exp",
+    "prng": "no_prng",
+    "sample_1d_all": "no_sample",
+}
+
+
+def bench_variant_smk(pre, B, n_steps, ablate, key, reps=3, tile=0):
+    import jax
+    import jax.numpy as jnp
+    from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+        klein_sample_batch_pallas,
+    )
+    from lattice_gaussian_mcmc_tpu.ops.kernels.smk_pallas import (
+        smk_steps_batch_pallas,
+    )
+
+    X, _ = klein_sample_batch_pallas(key, pre, B, tile=2048)
+    out = smk_steps_batch_pallas(jax.random.fold_in(key, 1), pre, X,
+                                 n_steps, tile=tile, ablate=ablate)
+    float(jnp.sum(out[1]))
+    X = out[0]
+    t0 = time.perf_counter()
+    for r in range(reps):
+        X, acc = smk_steps_batch_pallas(jax.random.fold_in(key, 2 + r), pre,
+                                        X, n_steps, tile=tile, ablate=ablate)
+        float(jnp.sum(acc))
+    dt = time.perf_counter() - t0
+    return B * n_steps * reps / dt
+
+
+def profile_smk():
+    """Ablation profile of the fused SMK kernel at the bench SMK-row
+    config (hard-regime NTRU-512; VERDICT r4 next-step #4: explain the
+    ~20% gap between the measured rate and the ~1.5-IMHK-sweep cost
+    model in smk_pallas.py's docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lattice_gaussian_mcmc_tpu.lattices import ntru_lattice
+    from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+
+    n_ring = int(os.environ.get("PROF_N", "512"))
+    B = int(os.environ.get("PROF_SMK_CHAINS", "131072"))
+    n_steps = int(os.environ.get("PROF_SMK_STEPS", "16"))
+
+    lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
+                       dtype=jnp.float32)
+    sigma_hard = 0.45 * float(jnp.max(lat.gs_norms))
+    budget = float(os.environ.get("PROF_TAIL_BUDGET", "0.01"))
+    pre = klein_precompute(lat, sigma_hard, tau=4.4,
+                           tail_budget=budget if budget > 0 else None)
+    n = 2 * n_ring
+    print(f"SMK profile: n={n} B={B} n_steps={n_steps}", flush=True)
+
+    key = jax.random.key(0)
+    out_dir = pathlib.Path("results/kernel_profile")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / "smk_profile.json"
+    results = {}
+    if out_path.exists():
+        try:
+            results = json.loads(out_path.read_text())
+        except json.JSONDecodeError:
+            results = {}
+    if results.get("B") != B or results.get("n_steps") != n_steps:
+        results = {}
+    results.update({"n": n, "B": B, "n_steps": n_steps,
+                    "sigma_over_max_gs": 0.45,
+                    "device": str(jax.devices()[0]).replace(" ", "_")})
+    results.setdefault("phases", {})
+
+    def flush():
+        out_path.write_text(json.dumps(results, indent=2))
+
+    if "full_steps_per_sec" not in results:
+        sps = bench_variant_smk(pre, B, n_steps, frozenset(), key)
+        results["full_steps_per_sec"] = round(sps, 1)
+        flush()
+    sps_full = results["full_steps_per_sec"]
+    print(f"full: {sps_full/1e6:.3f} M steps/s", flush=True)
+
+    for name, flag in SMK_PHASES.items():
+        if name in results["phases"]:
+            continue
+        sps = bench_variant_smk(pre, B, n_steps, frozenset([flag]), key)
+        share = max(0.0, 1.0 - sps_full / sps)
+        results["phases"][name] = {
+            "steps_per_sec": round(sps, 1),
+            "time_share_removed": round(share, 4)}
+        print(f"{name:22s}: {sps/1e6:8.3f} M/s  -> phase share "
+              f"{100*share:5.1f}%", flush=True)
+        flush()
+    print(f"wrote {out_path}", flush=True)
 
 
 def main():
@@ -169,4 +272,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PROF_SMK", "0") == "1":
+        profile_smk()
+    else:
+        main()
