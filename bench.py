@@ -246,6 +246,48 @@ def main():
             "n_steps": Ts,
         }
 
+    # Peikert row: the fully-parallel convolution sampler via the fused
+    # kernel (ops/kernels/peikert_pallas.py) at its own minimal valid
+    # sigma (1.05 r s1 — far above the FALCON sigma; that is WHY Klein/
+    # IMHK are the crypto-regime samplers). Every sample is independent,
+    # so samples/s == ESS/s here. Disable: BENCH_PEIKERT=0.
+    if os.environ.get("BENCH_PEIKERT", "1") == "1" and impl == "pallas":
+        from lattice_gaussian_mcmc_tpu.ops.theta import (
+            smoothing_parameter_zn,
+        )
+        from lattice_gaussian_mcmc_tpu.samplers.peikert import (
+            peikert_precompute,
+        )
+        from lattice_gaussian_mcmc_tpu.ops.kernels.peikert_pallas import (
+            peikert_rounds_pallas,
+            suggest_peikert_window,
+        )
+        n_dim = 2 * n_ring
+        s1 = float(np.linalg.norm(np.asarray(lat.basis, np.float64), 2))
+        r_pk = smoothing_parameter_zn(n_dim, 0.01)
+        sigma_pk = 1.05 * float(r_pk) * s1
+        pre_pk = peikert_precompute(lat, sigma_pk)
+        w_pk = suggest_peikert_window(float(pre_pk.r), n_dim)
+        Bp = min(n_chains, 131072)
+        kp = int(os.environ.get("BENCH_PEIKERT_ROUNDS", "8"))
+        R = peikert_rounds_pallas(jax.random.fold_in(key, 500), pre_pk, Bp,
+                                  n_rounds=kp, window=w_pk, tile=tile)
+        float(jnp.sum(R[:, :4, :8]))  # compile + scalar force
+        t0 = time.perf_counter()
+        R = peikert_rounds_pallas(jax.random.fold_in(key, 501), pre_pk, Bp,
+                                  n_rounds=kp, window=w_pk, tile=tile)
+        float(jnp.sum(R[:, :4, :8]))
+        sps_p = Bp * kp / (time.perf_counter() - t0)
+        result["peikert"] = {
+            "samples_per_sec": round(sps_p, 1),
+            "ess_per_sec": round(sps_p, 1),  # i.i.d. draws
+            "sigma": round(sigma_pk, 1),
+            "sigma_over_falcon_sigma": round(sigma_pk / sigma, 2),
+            "window": int(w_pk),
+            "n_chains": Bp,
+            "n_rounds": kp,
+        }
+
     try:
         from lattice_gaussian_mcmc_tpu.utils.profiling import memory_snapshot
         result["memory"] = memory_snapshot()

@@ -86,6 +86,15 @@ _LOGITS_MODE = os.environ.get("KLEIN_LOGITS_MODE", "2pass")
 # scoped-VMEM ceiling for the kernels (v5e has 128 MB; 100 MB leaves slack
 # for Mosaic's own staging). Raised only for tile-width experiments.
 _VMEM_MB = int(os.environ.get("KLEIN_VMEM_MB", "100"))
+# KLEIN_INTERLEAVE=1: split each tile into two independent lane-halves and
+# interleave their per-row draw chains in program order (VERDICT r4
+# next-step #1 — the serial backward-substitution row chain leaves an
+# engine idle while the other works; two offset chains give the in-order
+# issue stream independent work to fill the pipeline). Total vector-op
+# count is unchanged (half-width ops, twice as many); the halves keep
+# SEPARATE z scratches so Mosaic tracks them as independent. Measured on
+# v5e (see BENCHMARKS.md r5): kept opt-in / default per the measurement.
+_INTERLEAVE = os.environ.get("KLEIN_INTERLEAVE", "0") == "1"
 
 from lattice_gaussian_mcmc_tpu.samplers.klein import KleinPrecomp
 
@@ -198,6 +207,12 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
     alternating executables cost ~100 ms/step in program switching on the
     remote-execution tunnel).
     """
+    if _INTERLEAVE:
+        # second z scratch: the interleaved lane-halves keep separate draw
+        # buffers so their serial chains stay independent to the scheduler
+        rest, z2_ref = tuple(rest[:-1]), rest[-1]
+    else:
+        z2_ref = None
     if fused_mh and traj_every > 0:
         # trajectory mode: extra HBM ring outputs (traj_lw always; traj_x
         # when traj_coeffs) + a (1, tile) staging scratch and a DMA sem
@@ -414,8 +429,70 @@ def _kernel(seed_ref, u_ref, ul_ref, uw_ref, ud_ref, cs_ref, isg_ref,
                        :] = z_ref[:]
                 return lw, comp
 
+            def group_body_il(g, carry, *, lo=lo, hi=hi):
+                """Interleaved variant (KLEIN_INTERLEAVE=1): the tile's two
+                lane-halves A/B run their serial per-row chains interleaved
+                in program order — row d of B issues between row d and row
+                d-1 of A, so each engine has independent work while the
+                other half's dependency chain resolves. Identical law
+                (halves consume disjoint uniform lanes)."""
+                h = tile // 2
+                lw, comp = carry
+                r8 = pl.multiple_of(BLOCK - GROUP - g * GROUP, GROUP)
+                i8 = pl.multiple_of(lo + r8, GROUP)
+                u8w = uw_ref[pl.ds(i8, GROUP), :]
+                ud8 = ud_ref[pl.ds(i8, GROUP), :]
+                t8 = t_ref[pl.ds(r8, GROUP), :]
+                if host_rng:
+                    un8 = unif_ref[pl.ds(pl.multiple_of(ubase + i8, GROUP),
+                                         GROUP), :]
+                else:
+                    un8 = uniform_block((GROUP, tile))
+                if "no_split_s8" in ablate:
+                    s8 = jnp.dot(u8w[:, :BLOCK], xx_ref[:BLOCK, :],
+                                 preferred_element_type=jnp.float32)
+                else:
+                    s8 = jnp.dot(u8w, xx_ref[:],
+                                 preferred_element_type=jnp.float32)
+                msA = tpA = msB = tpB = None
+                for d in range(GROUP - 1, -1, -1):
+                    cs_d = cs_ref[0, i8 + d]
+                    isg_d = isg_ref[0, i8 + d]
+                    cb = cs_d - t8[d:d + 1, :] - s8[d:d + 1, :]
+                    cA = cb[:, :h]
+                    cB = cb[:, h:]
+                    for dp in range(d + 1, GROUP):
+                        cA = cA - ud8[d:d + 1, dp:dp + 1] * \
+                            z_ref[dp:dp + 1, :h]
+                        cB = cB - ud8[d:d + 1, dp:dp + 1] * \
+                            z2_ref[dp:dp + 1, :h]
+                    zA, mA, tA = sample_row(cA, isg_d, un8[d:d + 1, :h])
+                    zB, mB, tB = sample_row(cB, isg_d, un8[d:d + 1, h:])
+                    z_ref[d:d + 1, :h] = zA
+                    z2_ref[d:d + 1, :h] = zB
+                    msA = mA if msA is None else msA + mA
+                    tpA = tA if tpA is None else tpA * tA
+                    msB = mB if msB is None else msB + mB
+                    tpB = tB if tpB is None else tpB * tB
+                logZ8 = jnp.concatenate(
+                    [msA + jnp.log(tpA), msB + jnp.log(tpB)], axis=1)
+                y = logZ8 - comp
+                t = lw + y
+                comp = (t - lw) - y
+                lw = t
+                out_ref[pl.ds(i8, GROUP), :h] = z_ref[:, :h]
+                out_ref[pl.ds(i8, GROUP), h:] = z2_ref[:, :h]
+                xx_ref[pl.ds(r8, GROUP), :h] = z_ref[:, :h]
+                xx_ref[pl.ds(r8, GROUP), h:] = z2_ref[:, :h]
+                xx_ref[pl.ds(pl.multiple_of(BLOCK + r8, GROUP), GROUP),
+                       :h] = z_ref[:, :h]
+                xx_ref[pl.ds(pl.multiple_of(BLOCK + r8, GROUP), GROUP),
+                       h:] = z2_ref[:, :h]
+                return lw, comp
+
+            body = group_body_il if _INTERLEAVE else group_body
             lw, comp = jax.lax.fori_loop(0, BLOCK // GROUP,
-                                         lambda g, a: group_body(g, a),
+                                         lambda g, a: body(g, a),
                                          (lw, comp))
         return lw - comp
 
@@ -623,7 +700,8 @@ def klein_sample_batch_pallas(key: jax.Array, pre: KleinPrecomp,
             pltpu.VMEM((BLOCK, tile), jnp.float32),
             pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((2 * BLOCK, tile), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((GROUP, tile), jnp.float32)]
+            if _INTERLEAVE else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_MB * 1024 * 1024),
         interpret=interpret,
@@ -703,7 +781,8 @@ def klein_sample_ring_pallas(key: jax.Array, pre: KleinPrecomp,
             pltpu.VMEM((2 * BLOCK, tile), jnp.float32),
             pltpu.VMEM((8, tile), jnp.float32),      # lw staging (DMA)
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ] + ([pltpu.VMEM((GROUP, tile), jnp.float32)]
+            if _INTERLEAVE else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_MB * 1024 * 1024),
         interpret=interpret,
@@ -793,7 +872,8 @@ def imhk_step_pallas_fused(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
             pltpu.VMEM((GROUP, tile), jnp.float32),
             pltpu.VMEM((2 * BLOCK, tile), jnp.float32),
             pltpu.VMEM((n, tile), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((GROUP, tile), jnp.float32)]
+            if _INTERLEAVE else []),
         # the chain state (xold, lwold, accold) is updated in place across
         # the fused steps — alias it with the outputs so only ONE (n, B)
         # state buffer exists in VMEM per program
@@ -892,7 +972,8 @@ def imhk_trajectory_pallas(key: jax.Array, pre: KleinPrecomp, coeffs, log_ws,
             pltpu.VMEM((n, tile), jnp.float32),
             pltpu.VMEM((8, tile), jnp.float32),      # lw staging ring (DMA)
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ] + ([pltpu.VMEM((GROUP, tile), jnp.float32)]
+            if _INTERLEAVE else []),
         input_output_aliases={8: 0, 9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_MB * 1024 * 1024),

@@ -116,13 +116,17 @@ def test_padding_non_multiple_of_8(key):
 
 @pytest.mark.tpu
 def test_hardware_moments():
-    """On-chip PRNG path: moments against the analytic covariance."""
+    """On-chip PRNG path: moments against the analytic covariance.
+
+    n=128, NOT a tiny lattice: Mosaic's remote compile has been observed
+    to hang indefinitely on this kernel at n=16 (sub-MXU operand shapes),
+    while n >= 128 compiles in ~30 s (scripts/peikert_microbench.py)."""
     from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
         pallas_supported,
     )
     if not pallas_supported():
         pytest.skip("needs TPU")
-    lat, pre = _setup()
+    lat, pre = _setup(n=128)
     w = suggest_peikert_window(float(pre.r), lat.n)
     X = np.asarray(peikert_sample_batch_pallas(
         jax.random.key(5), pre, 65536, window=w, tile=1024))
