@@ -440,7 +440,8 @@ def smk_steps_batch_pallas(key, pre: KleinPrecomp, coeffs, n_steps: int,
                            sigma_prop=None, tile: int = 0,
                            interpret: bool = False, host_rng: bool = False,
                            debug: bool = False,
-                           ablate: frozenset = frozenset()):
+                           ablate: frozenset = frozenset(),
+                           window_budget: float = 0.01):
     """Run n_steps fused SMK steps on (B, n) integer coefficient state.
 
     `pre` is the TARGET precomputation (sigma = target width, cs = target
@@ -465,7 +466,10 @@ def smk_steps_batch_pallas(key, pre: KleinPrecomp, coeffs, n_steps: int,
     (n, tile) buffers resident vs IMHK (ct and ct_new), so the default
     drops earlier with dimension.
     """
-    from lattice_gaussian_mcmc_tpu.samplers.klein import suggest_window
+    from lattice_gaussian_mcmc_tpu.samplers.klein import (
+        suggest_window,
+        suggest_window_budget,
+    )
     n = pre.n
     if tile == 0:
         tile = 4096 if n <= 512 else (2048 if n <= 1024 else 512)
@@ -474,7 +478,18 @@ def smk_steps_batch_pallas(key, pre: KleinPrecomp, coeffs, n_steps: int,
     sigma_prop = float(sigma_prop)
     scale = sigma_prop / float(pre.sigma)
     sigmas_prop = pre.sigmas * scale
-    window = suggest_window(float(jnp.max(sigmas_prop)))
+    # window policy: total-tail-budget over the PROPOSAL conditional-sigma
+    # profile (same discrete-aware policy as the IMHK bench; r5 SMK
+    # profile showed the window-proportional phases — CDF matmul, 1D
+    # draws, reverse-pass exps — dominate, and the old worst-row tau rule
+    # paid window 16 where the budget admits 8 on the bench config).
+    # window_budget=0 falls back to the tau rule.
+    if window_budget > 0:
+        window = suggest_window_budget(
+            np.abs(np.asarray(sigmas_prop, dtype=np.float64)),
+            window_budget)
+    else:
+        window = suggest_window(float(jnp.max(sigmas_prop)))
     window = min(window, 1024)
     acc = jnp.zeros((coeffs.shape[0],), jnp.float32)
     return _smk_steps_jit(key, pre, coeffs, acc, sigmas_prop, n_steps,
