@@ -168,11 +168,14 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
                                    float(jnp.max(lat.gs_norms)))
             except ValueError:
                 return None
-            if use_pallas:
+            if use_pallas and n >= 128:
                 # fused kernel: VMEM-resident L2 + on-core Box-Muller +
                 # windowed inverse-CDF rounding, n_rounds independent
                 # batches per dispatch — never materializes (B, n, window)
-                # and needs no batch cap (VERDICT r4 next-step #2)
+                # and needs no batch cap (VERDICT r4 next-step #2).
+                # n >= 128 only: Mosaic's remote compile hangs
+                # indefinitely on this kernel at sub-MXU operand sizes
+                # (observed at n=16; scripts/peikert_microbench.py)
                 from lattice_gaussian_mcmc_tpu.ops.kernels.peikert_pallas \
                     import peikert_rounds_pallas, suggest_peikert_window
                 pk_window = suggest_peikert_window(float(s.pre.r), n)
