@@ -41,14 +41,16 @@ class AdaptationConfig(ExperimentConfig):
     ntru_q: int = 12289
     sigma_factor: float = 1.0        # target sigma = factor * max||b*_i||
     target_acceptance: float = 0.45
-    n_chains: int = 32768
+    n_chains: int = 65536
     n_windows: int = 16
     window_steps: int = 8
     # diminishing adaptation: after `warmup_windows` the per-window step
-    # count doubles up to `max_window_steps` (see adapt_sigma_smk)
+    # count jumps once to `max_window_steps` (see adapt_sigma_smk —
+    # exactly two fused executables, so the uncacheable ~20 s Mosaic
+    # compiles stay bounded)
     grow_windows: bool = True
-    warmup_windows: int = 4
-    max_window_steps: int = 128
+    warmup_windows: int = 5
+    max_window_steps: int = 256
     output_dir: str = "results/adaptation"
     cache_dir: str = "bench_cache"
 
