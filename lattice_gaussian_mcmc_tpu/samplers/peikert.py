@@ -115,8 +115,38 @@ class PeikertSampler:
                 f"Peikert requires sigma >= r * s1(B) = {r_val * s1:.4g}; "
                 f"got sigma={self.sigma:.4g}. Use Klein/IMHK for small sigma.")
 
-    def sample(self, key, num_samples: int = 1, return_coeffs: bool = False):
-        coeffs = peikert_sample_batch(key, self.pre, num_samples)
+    def sample(self, key, num_samples: int = 1, return_coeffs: bool = False,
+               backend: str = "auto"):
+        """backend "pallas" (or "auto" on a TPU) runs the fused kernel
+        (ops/kernels/peikert_pallas.py): VMEM-resident perturbation matmul
+        + independent windowed roundings, never materializing the
+        (B, n, window) logits tensor the XLA path needs — 6.25M i.i.d.
+        samples/s at dim 1024 vs 0.04M for the XLA path. Requires
+        n >= 128 (Mosaic's remote compile hangs on sub-MXU shapes) and a
+        batch divisible by 256; the window follows the discrete-aware
+        total-tail-budget policy (suggest_peikert_window)."""
+        coeffs = None
+        if backend in ("auto", "pallas"):
+            from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+                pallas_supported,
+            )
+            from lattice_gaussian_mcmc_tpu.ops.kernels.peikert_pallas import (
+                peikert_sample_batch_pallas,
+                suggest_peikert_window,
+            )
+            tile = max((t for t in (256, 512, 1024, 2048, 4096)
+                        if num_samples % t == 0), default=0)
+            ok = pallas_supported() and tile > 0 and self.pre.n >= 128
+            if backend == "pallas" and not ok:
+                raise RuntimeError(
+                    "backend='pallas' needs a TPU, n >= 128, and a batch "
+                    "divisible by 256")
+            if ok:
+                w = suggest_peikert_window(float(self.pre.r), self.pre.n)
+                coeffs = peikert_sample_batch_pallas(
+                    key, self.pre, num_samples, window=w, tile=tile)
+        if coeffs is None:
+            coeffs = peikert_sample_batch(key, self.pre, num_samples)
         if return_coeffs:
             return coeffs
         return coeffs @ self.pre.basis.T

@@ -39,8 +39,10 @@ class UnifiedLatticeSampler:
                  proposal_sigma: Optional[float] = None):
         """`exact=True` uses IMHK (MH-corrected); otherwise plain Klein.
         `algorithm` overrides the dispatch explicitly: one of
-        "direct"/"klein"/"imhk"/"smk" (smk = symmetric Metropolis-Klein,
-        BASELINE config 4; `proposal_sigma` sets its local-move width).
+        "direct"/"klein"/"imhk"/"smk"/"peikert" (smk = symmetric
+        Metropolis-Klein, BASELINE config 4, `proposal_sigma` sets its
+        local-move width; peikert = the fully-parallel convolution
+        sampler, valid only for sigma >= r*s1(B) — raises below that).
         sigma defaults to 1.5 x the smoothing-parameter bound."""
         self.lattice = lattice
         self.kind = lattice.meta.get("kind", "generic")
@@ -51,7 +53,7 @@ class UnifiedLatticeSampler:
         if algorithm is None:
             algorithm = ("direct" if self.kind == "identity"
                          else ("imhk" if exact else "klein"))
-        if algorithm not in ("direct", "klein", "imhk", "smk"):
+        if algorithm not in ("direct", "klein", "imhk", "smk", "peikert"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
         if algorithm == "direct" and self.kind != "identity":
             raise ValueError("direct sampling is exact only on Z^n")
@@ -64,6 +66,11 @@ class UnifiedLatticeSampler:
             self._impl = MetropolisKleinSampler(
                 lattice, self.sigma, proposal_sigma=proposal_sigma,
                 window=window)
+        elif algorithm == "peikert":
+            from lattice_gaussian_mcmc_tpu.samplers.peikert import (
+                PeikertSampler,
+            )
+            self._impl = PeikertSampler(lattice, self.sigma)
         else:
             self._impl = KleinSampler(lattice, self.sigma, window=window)
 

@@ -434,6 +434,92 @@ def validate_smk(sigma, lat32, tmp, n_ring, n_tpu, n_cpu, n_steps, seed):
     return out
 
 
+def validate_peikert(lat32, tmp, n_ring, n_tpu, n_cpu, seed):
+    """Peikert fused-kernel law vs the f64 XLA oracle at the algorithm's
+    minimal valid sigma (1.05 r s1): per-coordinate moments of the kernel's
+    i.i.d. draws must match the f64 `peikert_sample_batch` law AND the
+    analytic covariance sigma^2 (B^T B)^{-1} (VERDICT r4 next-step #2 —
+    validate the Peikert kernel like the other kernels)."""
+    import jax
+    import jax.numpy as jnp
+    from lattice_gaussian_mcmc_tpu.ops.theta import smoothing_parameter_zn
+    from lattice_gaussian_mcmc_tpu.samplers.peikert import peikert_precompute
+    from lattice_gaussian_mcmc_tpu.ops.kernels.peikert_pallas import (
+        peikert_rounds_pallas,
+        suggest_peikert_window,
+    )
+
+    n = 2 * n_ring
+    Bh = np.asarray(lat32.basis, np.float64)
+    s1 = float(np.linalg.norm(Bh, 2))
+    r = float(smoothing_parameter_zn(n, 0.01))
+    sigma = 1.05 * r * s1
+    pre32 = peikert_precompute(lat32, sigma)
+    window = suggest_peikert_window(float(pre32.r), n)
+    k_rounds = 4
+    B = n_tpu // k_rounds
+    tile = max(t for t in (256, 512, 1024, 2048) if B % t == 0)
+    print(f"[peikert] sigma={sigma:.1f} r={r:.3f} window={window} "
+          f"B={B}x{k_rounds} n_cpu={n_cpu}", flush=True)
+    key = jax.random.key(seed)
+    t0 = time.perf_counter()
+    R = peikert_rounds_pallas(key, pre32, B, n_rounds=k_rounds,
+                              window=window, tile=tile)
+    X = np.asarray(R, np.float64).reshape(-1, n)   # pooled i.i.d. draws
+    t_pk = time.perf_counter() - t0
+    print(f"[peikert] pallas {t_pk:.1f}s ({X.shape[0]} draws incl "
+          "readback)", flush=True)
+    res_cpu = run_cpu_phase(tmp, "peikert", phase="--peikert-cpu-phase",
+                            n_ring=n_ring, sigma=sigma, window=window,
+                            n_chains=n_cpu, seed=seed)
+    Xc = np.asarray(res_cpu["coeffs"], np.float64)
+    target_var = sigma ** 2 * np.diag(np.linalg.inv(Bh.T @ Bh))
+    ratio = X.var(0, ddof=1) / target_var
+    # chi^2 concentration of a variance ratio at N draws: SE ~ sqrt(2/N)
+    z_var = np.abs(ratio - 1.0) / np.sqrt(2.0 / X.shape[0])
+    out = {
+        "sigma": sigma, "r": r, "window": int(window),
+        "n_pallas": int(X.shape[0]), "n_f64": int(Xc.shape[0]),
+        "moments_vs_f64_oracle": moment_check(X, Xc),
+        "analytic_cov": {
+            "var_ratio_min": float(ratio.min()),
+            "var_ratio_max": float(ratio.max()),
+            "frac_within_4se": float(np.mean(z_var < 4.0)),
+        },
+    }
+    out["passed"] = bool(out["moments_vs_f64_oracle"]["passed"]
+                         and out["analytic_cov"]["frac_within_4se"] >= 0.99)
+    return out
+
+
+def peikert_cpu_phase(out_npz: str, n_ring: int, sigma: float, window: int,
+                      n_chains: int, seed: int) -> None:
+    """f64 XLA oracle for the Peikert law: `peikert_sample_batch` at the
+    SAME window the fused kernel uses (chunked — the XLA path materializes
+    (B, n, window) f64 logits)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from lattice_gaussian_mcmc_tpu.lattices import ntru_lattice
+    from lattice_gaussian_mcmc_tpu.samplers.peikert import (
+        peikert_precompute,
+        peikert_sample_batch,
+    )
+
+    lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
+                       dtype=jnp.float64)
+    pre = peikert_precompute(lat, sigma, window=window)
+    key = jax.random.key(seed + 3000)
+    chunk = 2048
+    parts = []
+    for i in range(0, n_chains, chunk):
+        parts.append(np.asarray(peikert_sample_batch(
+            jax.random.fold_in(key, i), pre, min(chunk, n_chains - i))))
+    np.savez_compressed(out_npz, coeffs=np.concatenate(parts, 0),
+                        acc_total=0.0, n_chains=n_chains, n_steps=1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -462,14 +548,19 @@ def main():
 
     out_dir = os.path.join(REPO, "results", "pallas_validation")
     prev_path = os.path.join(out_dir, f"validation_dim{2 * n_ring}.json")
-    # VAL_ONLY=smk: re-run only the SMK phase, merging the committed
-    # smooth/hard results from the existing artifact (they are expensive
-    # and independent of the SMK kernel)
-    only_smk = os.environ.get("VAL_ONLY", "") == "smk"
+    # VAL_ONLY=smk|peikert: re-run only that phase, merging the committed
+    # results for the others from the existing artifact (they are
+    # expensive and independent of the phase's kernel)
+    only = os.environ.get("VAL_ONLY", "")
+    only_smk = only == "smk"
+    only_peikert = only == "peikert"
     prev = None
-    if only_smk:
+    if only:
         with open(prev_path) as f:
             prev = json.load(f)
+
+    def _reuse(phase_name):
+        return {**prev[phase_name], "reused_from_prev_run": True}
 
     with tempfile.TemporaryDirectory() as tmp:
         results = {
@@ -479,26 +570,37 @@ def main():
             # when VAL_ONLY=smk splices committed results forward, each
             # reused phase is stamped so the artifact is self-describing
             # about mixing results from different runs (ADVICE r4)
-            "smooth": {**prev["smooth"], "reused_from_prev_run": True}
-            if only_smk else validate_regime(
+            "smooth": _reuse("smooth") if only else validate_regime(
                 "smooth", sigma_smooth, lat32, tmp,
                 n_ring, n_tpu, n_cpu, n_steps, seed=7),
-            "hard": {**prev["hard"], "reused_from_prev_run": True}
-            if only_smk else validate_regime(
+            "hard": _reuse("hard") if only else validate_regime(
                 "hard", sigma_hard, lat32, tmp,
                 n_ring, n_tpu, n_cpu, n_steps, seed=8,
                 ks_seeds=int(os.environ.get("VAL_KS_SEEDS", "3"))),
         }
-        if os.environ.get("VAL_SMK", "1") == "1":
+        if os.environ.get("VAL_SMK", "1") == "1" and not only_peikert:
             results["smk"] = validate_smk(
                 sigma_hard, lat32, tmp, n_ring,
                 n_tpu=int(os.environ.get("VAL_SMK_N_TPU", "32768")),
                 n_cpu=int(os.environ.get("VAL_SMK_N_CPU", "1024")),
                 n_steps=int(os.environ.get("VAL_SMK_STEPS", "48")), seed=9)
+        elif only_peikert and prev and "smk" in prev:
+            results["smk"] = _reuse("smk")
+        if os.environ.get("VAL_PEIKERT", "1") == "1" and not only_smk:
+            results["peikert"] = validate_peikert(
+                lat32, tmp, n_ring,
+                n_tpu=int(os.environ.get("VAL_PEIKERT_N_TPU", "131072")),
+                n_cpu=int(os.environ.get("VAL_PEIKERT_N_CPU", "8192")),
+                seed=11)
+        elif only_smk and prev and "peikert" in prev:
+            results["peikert"] = _reuse("peikert")
     results["all_passed"] = bool(results["smooth"]["passed"]
                                  and results["hard"]["passed"]
                                  and results.get("smk",
-                                                 {"passed": True})["passed"])
+                                                 {"passed": True})["passed"]
+                                 and results.get(
+                                     "peikert",
+                                     {"passed": True})["passed"])
 
     out_dir = os.path.join(REPO, "results", "pallas_validation")
     os.makedirs(out_dir, exist_ok=True)
@@ -528,6 +630,13 @@ def main():
         print(f"smk: {'PASS' if r['passed'] else 'FAIL'} "
               f"(moments {r['moments_smk']['frac_mean_within_3se']:.3f}, "
               f"acc diff {r['acceptance']['abs_diff']:.4f})")
+    if "peikert" in results:
+        r = results["peikert"]
+        frac = r["moments_vs_f64_oracle"]["frac_mean_within_3se"]
+        vmin = r["analytic_cov"]["var_ratio_min"]
+        vmax = r["analytic_cov"]["var_ratio_max"]
+        print(f"peikert: {'PASS' if r['passed'] else 'FAIL'} "
+              f"(moments {frac:.3f}, var ratio {vmin:.3f}..{vmax:.3f})")
     print(f"all_passed: {results['all_passed']}")
     return 0 if results["all_passed"] else 1
 
@@ -549,5 +658,13 @@ if __name__ == "__main__":
                       sigma_prop=float(kw["sigma_prop"]),
                       window=int(kw["window"]), n_chains=int(kw["n_chains"]),
                       n_steps=int(kw["n_steps"]), seed=int(kw["seed"]))
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "--peikert-cpu-phase":
+        out_npz = sys.argv[2]
+        kw = dict(a.split("=", 1) for a in sys.argv[3:])
+        peikert_cpu_phase(out_npz, n_ring=int(kw["n_ring"]),
+                          sigma=float(kw["sigma"]),
+                          window=int(kw["window"]),
+                          n_chains=int(kw["n_chains"]), seed=int(kw["seed"]))
         sys.exit(0)
     sys.exit(main())

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lattice_gaussian_mcmc_tpu.diagnostics.spectral import (
     transition_decomposition,
@@ -105,3 +106,24 @@ def test_unified_rejects_unknown_algorithm():
     import pytest
     with pytest.raises(ValueError):
         UnifiedLatticeSampler(lat, sigma=3.0, algorithm="nope")
+
+
+def test_unified_peikert_dispatch(key):
+    """algorithm='peikert' routes to the convolution sampler (valid sigma)
+    and raises its validity error below r*s1."""
+    import numpy as np
+
+    from lattice_gaussian_mcmc_tpu.lattices import lattice_from_basis
+    from lattice_gaussian_mcmc_tpu.samplers.unified import (
+        UnifiedLatticeSampler,
+    )
+    rng = np.random.default_rng(3)
+    B0 = np.triu(rng.uniform(-0.5, 0.5, (8, 8))) + np.eye(8)
+    lat = lattice_from_basis(B0, dtype=jnp.float64)
+    s1 = float(np.linalg.norm(B0, 2))
+    s = UnifiedLatticeSampler(lat, sigma=4.0 * s1, algorithm="peikert")
+    assert s.algorithm == "peikert"
+    pts = s.sample(key, 512)
+    assert pts.shape == (512, 8)
+    with pytest.raises(ValueError):
+        UnifiedLatticeSampler(lat, sigma=0.1, algorithm="peikert")
