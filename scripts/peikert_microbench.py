@@ -47,6 +47,13 @@ def main():
 
     stages = os.environ.get("PK_STAGES", "smoke,dim1024,rounds").split(",")
     out = {"device": str(jax.devices()[0]).replace(" ", "_")}
+    _prev_path = pathlib.Path(
+        "results/kernel_profile/peikert_microbench.json")
+    if _prev_path.exists():
+        try:
+            out = {**json.loads(_prev_path.read_text()), **out}
+        except json.JSONDecodeError:
+            pass
     out_path = pathlib.Path("results/kernel_profile/peikert_microbench.json")
     out_path.parent.mkdir(parents=True, exist_ok=True)
 
@@ -80,10 +87,11 @@ def main():
         flush()
 
     if "dim1024" in stages or "rounds" in stages:
-        print("[dim1024] loading NTRU-512...", flush=True)
-        lat = ntru_lattice(512, q=12289, seed=0, cache_dir="bench_cache",
+        n_ring = int(os.environ.get("PK_N", "512"))
+        print(f"[dim1024] loading NTRU-{n_ring}...", flush=True)
+        lat = ntru_lattice(n_ring, q=12289, seed=0, cache_dir="bench_cache",
                            dtype=jnp.float32)
-        n = 1024
+        n = 2 * n_ring
         s1 = float(np.linalg.norm(np.asarray(lat.basis, np.float64), 2))
         r = smoothing_parameter_zn(n, 0.01)
         sigma = 1.05 * float(r) * s1
@@ -92,7 +100,7 @@ def main():
         print(f"[dim1024] r={float(pre.r):.3f} window={w} "
               f"L2 finite={bool(np.isfinite(np.asarray(pre.L2)).all())}",
               flush=True)
-        out["dim1024_config"] = {"r": float(pre.r), "window": w,
+        out[f"dim{n}_config"] = {"r": float(pre.r), "window": w,
                                  "sigma": sigma}
         flush()
 
@@ -114,7 +122,7 @@ def main():
                 jax.random.key(3 + rep), pre, B, window=w, tile=tile)
             float(jnp.sum(X[:, :8]))
             rates.append(B / (time.perf_counter() - t0))
-        out["dim1024_single"] = {
+        out[f"dim{n}_single"] = {
             "B": B, "tile": tile, "compile_s": round(compile_s, 1),
             "rates_msps": [round(x / 1e6, 3) for x in rates]}
         print(f"[dim1024] single-round rates "
@@ -139,7 +147,7 @@ def main():
                                       n_rounds=k, window=w, tile=tile)
             float(jnp.sum(R[:, :4, :8]))
             rates.append(B * k / (time.perf_counter() - t0))
-        out["rounds"] = {
+        out[f"rounds_dim{n}"] = {
             "B": B, "tile": tile, "n_rounds": k,
             "compile_s": round(compile_s, 1),
             "rates_msps": [round(x / 1e6, 3) for x in rates]}
@@ -150,7 +158,7 @@ def main():
         Bm = np.asarray(lat.basis, np.float64)
         tc = sigma ** 2 * np.linalg.inv(Bm.T @ Bm)
         ratio = np.var(Xn, axis=0, ddof=1) / np.diag(tc)
-        out["rounds"]["var_ratio_minmax"] = [float(ratio.min()),
+        out[f"rounds_dim{n}"]["var_ratio_minmax"] = [float(ratio.min()),
                                              float(ratio.max())]
         print(f"[rounds] var ratio {ratio.min():.3f}..{ratio.max():.3f}",
               flush=True)
