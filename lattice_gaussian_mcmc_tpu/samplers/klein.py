@@ -298,8 +298,28 @@ class KleinSampler:
                 f"{self.pre.window / 2 / max_cond:.1f} conditional sigmas; "
                 "increase `window`", stacklevel=2)
 
-    def sample(self, key, num_samples: int = 1, return_coeffs: bool = False):
-        coeffs, _ = klein_sample_batch(key, self.pre, num_samples)
+    def sample(self, key, num_samples: int = 1, return_coeffs: bool = False,
+               backend: str = "auto"):
+        """backend "pallas" (or "auto" on a TPU, batch divisible by 256)
+        draws through the fused kernel (ops/kernels/klein_pallas.py) —
+        same windowed law, ~50x the scan path's rate at crypto dims."""
+        coeffs = None
+        if backend in ("auto", "pallas"):
+            from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+                klein_sample_batch_pallas,
+                pallas_supported,
+            )
+            tile = max((t for t in (256, 512, 1024, 2048, 4096)
+                        if num_samples % t == 0), default=0)
+            ok = pallas_supported() and tile > 0
+            if backend == "pallas" and not ok:
+                raise RuntimeError("backend='pallas' needs a TPU and a "
+                                   "batch divisible by 256")
+            if ok:
+                coeffs, _ = klein_sample_batch_pallas(
+                    key, self.pre, num_samples, tile=tile)
+        if coeffs is None:
+            coeffs, _ = klein_sample_batch(key, self.pre, num_samples)
         if return_coeffs:
             return coeffs
         return klein_points(self.pre.basis, coeffs)

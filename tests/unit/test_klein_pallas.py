@@ -186,3 +186,41 @@ def test_ring_mode_round0_matches_single_draw(key):
         assert np.all(np.abs(Xi.mean(0)) < 5 * se), (i, Xi.mean(0))
         assert np.all(np.abs(Xi.std(0) / target_std - 1.0) < 0.12), \
             (i, Xi.std(0), target_std)
+
+
+@pytest.mark.slow
+def test_interleave_variant_bitwise_identical():
+    """KLEIN_INTERLEAVE=1 must produce BIT-IDENTICAL draws to the default
+    kernel with host randomness: the interleaved lane-halves consume
+    exactly the uniform lanes the full-width rows would (subprocess —
+    the flag is read at module import)."""
+    import subprocess
+    import sys
+
+    code = r"""
+import os
+os.environ["KLEIN_INTERLEAVE"] = "%s"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+from lattice_gaussian_mcmc_tpu.lattices import lattice_from_basis
+from lattice_gaussian_mcmc_tpu.samplers import klein_precompute
+from lattice_gaussian_mcmc_tpu.ops.kernels.klein_pallas import (
+    klein_sample_batch_pallas)
+lat = lattice_from_basis(np.array([[1.0, 0.5], [0.0, 1.0]]),
+                         dtype=jnp.float32)
+pre = klein_precompute(lat, 2.0)
+with pltpu.force_tpu_interpret_mode():
+    X, lw = klein_sample_batch_pallas(jax.random.key(7), pre, 256,
+                                      host_rng=True, tile=256)
+np.save("/tmp/interleave_%s.npy", np.asarray(X))
+"""
+    for flag in ("0", "1"):
+        r = subprocess.run([sys.executable, "-c", code % (flag, flag)],
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+    a = np.load("/tmp/interleave_0.npy")
+    b = np.load("/tmp/interleave_1.npy")
+    np.testing.assert_array_equal(a, b)
