@@ -75,7 +75,7 @@ def suggest_peikert_window(r: float, n: int, budget: float = 0.01) -> int:
 
 def _peikert_kernel(seed_ref, l2h_ref, l2l_ref, cp_ref, isg_ref, unif_ref,
                     zin_ref, *rest, n, window, tile, host_rng, n_rounds,
-                    ablate=frozenset()):
+                    ring_out=False, ablate=frozenset()):
     """One program: `tile` chains x `n_rounds` independent Peikert draws.
 
     Refs:
@@ -91,7 +91,7 @@ def _peikert_kernel(seed_ref, l2h_ref, l2l_ref, cp_ref, isg_ref, unif_ref,
       scratch: z_ref (n, tile) normals, c_ref (n, tile) centers,
                g_ref (GROUP, tile) staged draws.
     """
-    if n_rounds == 1:
+    if not ring_out:
         x_ref, z_ref, c_ref, g_ref = rest
         ring_ref = dma_sem = None
     else:
@@ -312,7 +312,8 @@ def peikert_rounds_pallas(key: jax.Array, pre: PeikertPrecomp,
 
     kernel = functools.partial(_peikert_kernel, n=n, window=window,
                                tile=tile, host_rng=host_rng,
-                               n_rounds=n_rounds, ablate=ablate)
+                               n_rounds=n_rounds, ring_out=True,
+                               ablate=ablate)
     ring, _x = pl.pallas_call(
         kernel,
         grid=(B // tile,),

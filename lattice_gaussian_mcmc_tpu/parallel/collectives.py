@@ -207,3 +207,44 @@ def sharded_imhk_pallas(key, pre, n_chains: int, n_steps: int, mesh: Mesh,
                       check_vma=False)
     dev_keys = put_global(dev_keys, mesh, P(CHAIN_AXIS))
     return jax.jit(f)(dev_keys)
+
+
+def sharded_peikert_pallas(key, pre, n_chains: int, mesh: Mesh,
+                           n_rounds: int = 1, window=None, tile: int = 1024,
+                           interpret: bool = False):
+    """Multi-chip Peikert: the fused convolution-sampler kernel
+    (ops/kernels/peikert_pallas.py) on every device's chain shard under
+    `shard_map`, with the pooled per-coordinate mean and second moment
+    psum'd across the mesh (the draws are i.i.d., so cross-chip pooled
+    moments are the natural global diagnostic — there is no acceptance).
+
+    Returns (coeffs (n_rounds*C, n) global-sharded, pooled_mean (n,),
+    pooled_var (n,)). `interpret=True` runs the kernel in interpreter
+    mode with host randomness (CPU meshes / tests)."""
+    from lattice_gaussian_mcmc_tpu.ops.kernels.peikert_pallas import (
+        peikert_rounds_pallas,
+    )
+    assert n_chains % mesh.size == 0
+    per_dev = n_chains // mesh.size
+    assert per_dev % tile == 0, "per-device chains must divide the tile"
+    dev_keys = chain_keys(key, mesh.size)
+
+    def local(dev_key):
+        R = peikert_rounds_pallas(dev_key[0], pre, per_dev,
+                                  n_rounds=n_rounds, window=window,
+                                  tile=tile, interpret=interpret,
+                                  host_rng=interpret)
+        X = R.reshape(n_rounds * per_dev, -1)
+        cnt = jnp.asarray(X.shape[0], jnp.float32)
+        s1 = jax.lax.psum(jnp.sum(X, axis=0), CHAIN_AXIS)
+        s2 = jax.lax.psum(jnp.sum(X * X, axis=0), CHAIN_AXIS)
+        tot = jax.lax.psum(cnt, CHAIN_AXIS)
+        mean = s1 / tot
+        var = s2 / tot - mean * mean
+        return X, mean, var
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=P(CHAIN_AXIS),
+                      out_specs=(P(CHAIN_AXIS), P(), P()),
+                      check_vma=False)
+    dev_keys = put_global(dev_keys, mesh, P(CHAIN_AXIS))
+    return jax.jit(f)(dev_keys)

@@ -150,3 +150,32 @@ def test_sharded_imhk_pallas_interpret(key):
     # log weights describe the same distribution
     np.testing.assert_allclose(float(lwp.mean()), float(lwb.mean()),
                                atol=0.05)
+
+
+@pytest.mark.slow
+def test_sharded_peikert_pallas_interpret(key):
+    """Multi-chip Peikert (fused kernel under shard_map, psum'd pooled
+    moments) on the 8-device virtual mesh: global moments match the
+    analytic law sigma^2 (B^T B)^{-1} and the psum'd diagnostics equal
+    the host-side pooled computation."""
+    from lattice_gaussian_mcmc_tpu.parallel.collectives import (
+        sharded_peikert_pallas,
+    )
+    from lattice_gaussian_mcmc_tpu.samplers.peikert import peikert_precompute
+    basis = np.array([[1.0, 0.5], [0.0, 1.0]])
+    s1 = float(np.linalg.norm(basis, 2))
+    lat32 = lattice_from_basis(basis, dtype=jnp.float32)
+    pre = peikert_precompute(lat32, sigma=3.0 * s1)
+    mesh = make_mesh()
+    n_chains = 8 * 256
+    X, mean, var = sharded_peikert_pallas(key, pre, n_chains=n_chains,
+                                          mesh=mesh, n_rounds=2, window=16,
+                                          tile=256, interpret=True)
+    assert X.shape == (2 * n_chains, 2)
+    Xn = np.asarray(X, np.float64)
+    np.testing.assert_allclose(np.asarray(mean), Xn.mean(0), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var), Xn.var(0), rtol=1e-4)
+    target_var = (3.0 * s1) ** 2 * np.diag(
+        np.linalg.inv(basis.T @ basis))
+    ratio = Xn.var(0) / target_var
+    assert np.all(np.abs(ratio - 1.0) < 0.1), ratio
