@@ -28,6 +28,7 @@ def main() -> int:
     from lattice_gaussian_mcmc_tpu.experiments.mesh_scaling import (
         measure_scaling,
         measure_scaling_pallas,
+        measure_scaling_peikert,
     )
     counts = [d for d in (1, 2, 4, 8, 16) if d <= n_devices]
     rows = measure_scaling(
@@ -40,8 +41,11 @@ def main() -> int:
     pallas_rows = measure_scaling_pallas(
         chains_per_device=256, n_steps=4,
         device_counts=[d for d in (1, 2, 4, 8) if d <= n_devices], seed=seed)
-    print(json.dumps({"rows": rows, "pallas_rows": pallas_rows},
-                     default=float))
+    peikert_rows = measure_scaling_peikert(
+        chains_per_device=256, n_rounds=2,
+        device_counts=[d for d in (1, 2, 4, 8) if d <= n_devices], seed=seed)
+    print(json.dumps({"rows": rows, "pallas_rows": pallas_rows,
+                      "peikert_rows": peikert_rows}, default=float))
     return 0
 
 

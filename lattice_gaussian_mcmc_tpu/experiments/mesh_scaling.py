@@ -119,6 +119,61 @@ def measure_scaling_pallas(n: int = 8, chains_per_device: int = 256,
     return rows
 
 
+def measure_scaling_peikert(n: int = 8, chains_per_device: int = 256,
+                            n_rounds: int = 2, device_counts=None,
+                            seed: int = 0, tile: int = 256) -> List[Dict]:
+    """Weak scaling of the sharded Peikert path (`sharded_peikert_pallas`):
+    i.i.d. draws, psum'd pooled moments. Off-TPU the kernel runs in
+    interpret mode — rows prove the sharded dispatch executes and psums
+    on every mesh width, not speed."""
+    from lattice_gaussian_mcmc_tpu.parallel.collectives import (
+        sharded_peikert_pallas,
+    )
+    from lattice_gaussian_mcmc_tpu.samplers.peikert import peikert_precompute
+    if device_counts is None:
+        nd = len(jax.devices())
+        device_counts = [d for d in (1, 2, 4, 8, 16) if d <= nd]
+    interpret = jax.devices()[0].platform != "tpu"
+    rng = np.random.default_rng(seed)
+    B = np.triu(rng.uniform(-0.5, 0.5, (n, n))) + np.eye(n)
+    np.fill_diagonal(B, 1.0)
+    lat = lattice_from_basis(B, dtype=jnp.float32)
+    s1 = float(np.linalg.norm(B, 2))
+    pre = peikert_precompute(lat, 3.0 * s1)
+    key = jax.random.key(seed)
+
+    rows = []
+    base_rate = None
+    for nd in device_counts:
+        mesh = make_mesh(nd)
+        n_chains = chains_per_device * nd
+        out = sharded_peikert_pallas(key, pre, n_chains, mesh,
+                                     n_rounds=n_rounds, window=16,
+                                     tile=tile, interpret=interpret)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = sharded_peikert_pallas(jax.random.fold_in(key, 1), pre,
+                                     n_chains, mesh, n_rounds=n_rounds,
+                                     window=16, tile=tile,
+                                     interpret=interpret)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rate = n_chains * n_rounds / dt
+        if base_rate is None:
+            base_rate = rate
+        rows.append({
+            "impl": "sharded_peikert_pallas",
+            "interpret_mode": interpret,
+            "rates_are_interpret_mode_not_kernel": interpret,
+            "n_devices": nd,
+            "n_chains": n_chains,
+            "samples_per_sec": rate,
+            "efficiency": rate / (base_rate * nd),
+            "pooled_var_max": float(jnp.max(out[2])),
+        })
+    return rows
+
+
 def _measure_in_virtual_mesh(n_devices: int, chains_per_device: int,
                              n_samples: int, seed: int) -> List[Dict]:
     """Spawn a subprocess with a forced n_devices-wide virtual CPU mesh
@@ -197,12 +252,14 @@ def run_mesh_scaling(cfg: Optional[ExperimentConfig] = None,
     if len(jax.devices()) >= min_devices:
         rows = measure_scaling(seed=cfg.seed)
         pallas_rows = measure_scaling_pallas(seed=cfg.seed)
+        peikert_rows = measure_scaling_peikert(seed=cfg.seed)
         env = "device_mesh"
     else:
         worker = _measure_in_virtual_mesh(min_devices, chains_per_device=64,
                                           n_samples=20, seed=cfg.seed)
         rows = worker["rows"]
         pallas_rows = worker["pallas_rows"]
+        peikert_rows = worker.get("peikert_rows", [])
         env = "virtual_cpu_mesh"
     try:
         process_rows = measure_process_scaling()
@@ -212,6 +269,7 @@ def run_mesh_scaling(cfg: Optional[ExperimentConfig] = None,
     payload = {
         "rows": rows,
         "pallas_rows": pallas_rows,
+        "peikert_rows": peikert_rows,
         "process_rows": process_rows,
         "environment": env,
         "physical_cores": multiprocessing.cpu_count(),
