@@ -149,18 +149,23 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
                 def run(k=key):
                     return klein_sample_batch_blocked(k, pre, B, cfg.block)
         elif algorithm == "imhk":
+            # 16 MCMC steps per timed dispatch: at 65k chains a 4-step
+            # dispatch was ~45% tunnel-dispatch overhead, understating the
+            # kernel (the flagship bench runs 64; same amortization idea)
+            imhk_steps = 16
             if use_pallas:
                 X0, lw0 = klein_sample_batch_pallas(key, pre, B, tile=tile)
 
                 def run(k=key, X0=X0, lw0=lw0):
-                    return imhk_steps_batch_pallas(k, pre, X0, lw0, 4,
-                                                   tile=tile)
+                    return imhk_steps_batch_pallas(k, pre, X0, lw0,
+                                                   imhk_steps, tile=tile)
             else:
                 X0, lw0 = klein_sample_batch_blocked(key, pre, B, cfg.block)
 
                 def run(k=key, X0=X0, lw0=lw0):
-                    return imhk_steps_batch_blocked(k, pre, X0, lw0, 4,
-                                                    cfg.block)
+                    return imhk_steps_batch_blocked(k, pre, X0, lw0,
+                                                    imhk_steps, cfg.block)
+            per_batch_override = B * imhk_steps
         elif algorithm == "peikert":
             try:
                 s = PeikertSampler(lat, 2.0 * sigma *
@@ -198,7 +203,7 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
             raise ValueError(f"unknown algorithm {algorithm}")
 
     stats = _time_fn(run, cfg.warmup_runs, cfg.timed_runs)
-    per_batch = B * (4 if algorithm == "imhk" else 1)
+    per_batch = B  # imhk/klein/peikert override below
     if peikert_batch is not None:
         per_batch = peikert_batch
     if per_batch_override is not None:
