@@ -7,12 +7,15 @@ batch is one embarrassingly parallel grid — each program draws a
 inverse-CDF window machinery as the Klein kernel. Validated on hardware: TVD
 0.0027 vs the exact pmf at sigma=5, mean -0.0007, std 5.003.
 
-Honest note: measured ~22M draws/s on one v5e — the XLA `sample_zn` path
-reaches ~45M draws/s for the same law (threefry amortizes better than
-per-row hardware-PRNG calls here), so `lattices.identity.sample_zn` remains
-the recommended direct path; this kernel documents the Pallas base-sampler
-pattern and serves when the hardware PRNG stream (no host key management)
-is preferred. The Klein/IMHK fused kernel is where Pallas wins decisively.
+Measured (r5, one v5e): **1.8-1.9 G draws/s** at the benchmark suite's
+67M-draw dispatches (65536 x dim-1024 vectors; results/benchmark), 631M
+draws/s at 16.8M-draw dispatches (tunnel-dispatch-bound at that size).
+The XLA `sample_zn` path cannot run at these batch sizes at all — it
+materializes an (N, window) logits tensor (17 GB at the suite size) —
+so this kernel IS the production direct path on TPU; `sample_zn` remains
+the portable/CPU fallback. (An earlier note here quoted 22M draws/s
+against 45M for XLA: both predate the multi-draw-per-program grid and
+scalar-pull timing, and are obsolete.)
 """
 
 from __future__ import annotations
