@@ -88,9 +88,15 @@ def bench_algorithm(algorithm: str, n: int, cfg: BenchmarkConfig,
         if pallas_supported() and (B * n) % 262144 == 0:
             from lattice_gaussian_mcmc_tpu.ops.kernels.zn_pallas import (
                 sample_zn_pallas)
+            from lattice_gaussian_mcmc_tpu.ops.kernels.peikert_pallas import (
+                suggest_peikert_window)
+            # budget window policy on the constant profile (the kernel's
+            # old fixed window 64 left ~25% draw throughput on the table)
+            zn_window = suggest_peikert_window(sigma, n)
 
             def run(k=key):
-                return sample_zn_pallas(k, B * n, sigma).reshape(B, n)
+                return sample_zn_pallas(k, B * n, sigma,
+                                        window=zn_window).reshape(B, n)
         else:
             def run(k=key):
                 return sample_zn(k, n=n, sigma=sigma, shape=(B,))
